@@ -1,0 +1,93 @@
+"""Frame extraction and sampling (backend-independent logic)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from fractions import Fraction
+from pathlib import Path
+
+import numpy as np
+
+from ..vpdq import pdq_math as pm
+
+
+class DecodeError(Exception):
+    """Raised when a video cannot be decoded (no stream, corrupt data, ...)."""
+
+
+def resize_nearest_512(img: np.ndarray) -> np.ndarray:
+    """Nearest-neighbor rescale of [H, W, 3] uint8 to [512, 512, 3].
+
+    Center-based sampling: src index = floor((i + 0.5) * src / 512). This is
+    the deterministic, backend-independent replacement for the reference's
+    swscale POINT rescale (vpdqpy.py:90-95); all our hash implementations see
+    identical pixels regardless of the decode backend.
+    """
+    h, w = img.shape[:2]
+    if (h, w) == (pm.FRAME_DIM, pm.FRAME_DIM):
+        return np.ascontiguousarray(img)
+    n = pm.FRAME_DIM
+    ri = ((2 * np.arange(n) + 1) * h) // (2 * n)
+    ci = ((2 * np.arange(n) + 1) * w) // (2 * n)
+    return np.ascontiguousarray(img[ri][:, ci])
+
+
+def effective_sample_step(average_fps: float | Fraction | None) -> int:
+    """The reference's sampling rule (vpdqpy.py:71-77): hash frames where
+    frame_index % round(average_fps) == 0; unknown or sub-1 fps -> every
+    frame (step 1). Python round() (banker's) matches the reference."""
+    if average_fps is None:
+        return 1
+    try:
+        if average_fps != average_fps or average_fps < 1:  # NaN or < 1
+            return 1
+    except TypeError:
+        return 1
+    return max(1, round(average_fps))
+
+
+def sample_indices(n_frames: int, average_fps: float | None) -> list[int]:
+    """Which frame indices of an n-frame stream get hashed."""
+    step = effective_sample_step(average_fps)
+    return list(range(0, n_frames, step))
+
+
+def extract_frames(video: bytes | str | Path) -> Iterator[np.ndarray]:
+    """Decode + sample + rescale: yields [512, 512, 3] uint8 rgb frames.
+
+    Accepts raw bytes or a filesystem path. Backend chosen by content
+    sniffing (magic bytes), mirroring the reference's "bytes in, frames out"
+    contract (vpdqpy.py:59, 104-119).
+    """
+    from . import backends
+
+    data: bytes
+    src_path: Path | None = None
+    if isinstance(video, (str, Path)):
+        src_path = Path(video)
+        if not src_path.is_file():
+            raise DecodeError(f"video does not exist: {src_path}")
+        data = src_path.read_bytes()
+    elif isinstance(video, (bytes, bytearray)):
+        data = bytes(video)
+    else:
+        raise DecodeError(f"unsupported video source type: {type(video)!r}")
+
+    backend = backends.choose_backend(data)
+    step_known = False
+    step = 1
+    index = 0
+    for raw_frame, fps in backend.decode(data, src_path):
+        if not step_known:
+            step = effective_sample_step(fps)
+            step_known = True
+        if index % step == 0:
+            yield resize_nearest_512(raw_frame)
+        index += 1
+    if index == 0:
+        raise DecodeError("no decodable frames found")
+
+
+def frames_for_hashing(video: bytes | str | Path) -> Iterator[np.ndarray]:
+    """Alias for extract_frames (the hashing pipeline entry)."""
+    return extract_frames(video)

@@ -1,0 +1,147 @@
+"""Batched PDQ frame hashing as a pure JAX (XLA) program.
+
+Implements the exact-by-construction PDQ spec (vpdq/pdq_math.py) with the
+same fixed op ordering as the numpy oracle and the C++ native path, so the
+resulting 256-bit hashes are bit-identical across CPU/TPU/XLA-CPU. See the
+oracle (vpdq/python_ref.py) for the authoritative step-by-step description.
+
+The pipeline is jittable and shardable: the batch axis is embarrassingly
+parallel, so sharding the leading axis over a mesh data-parallelizes hashing
+across chips with zero collectives.
+
+Reference behavior: /root/reference/src/hydrusvideodeduplicator/vpdqpy/vpdqpy.py
+(fed 512x512 rgb24 frames) and SURVEY.md §2.1 (native hasher contract).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..vpdq import pdq_math as pm
+
+# Constants materialized once (f32 bit patterns shared with C++/numpy).
+_RECIPS = np.asarray(pm.box_recips(pm.FRAME_DIM), dtype=np.float32)  # [512]
+_DCT = np.asarray(pm.DCT_MATRIX, dtype=np.float32)  # [16, 64]
+_QS = np.float32(pm.QUALITY_SCALE)
+
+
+def _box_pass(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """One window-8 box pass along ``axis`` (last two axes are the frame).
+
+    Fixed-order chain of 8 zero-padded shifted adds, then multiply by the
+    per-position f32 reciprocal of the live window count. Mirrors
+    python_ref._box_pass op for op.
+    """
+    n = x.shape[axis]
+    acc = None
+    for off in range(-pm.OFF_L, pm.OFF_R + 1):
+        if off >= 0:
+            sl = jax.lax.slice_in_dim(x, off, n, axis=axis)
+            pad = [(0, 0)] * x.ndim
+            pad[axis] = (0, off)
+        else:
+            sl = jax.lax.slice_in_dim(x, 0, n + off, axis=axis)
+            pad = [(0, 0)] * x.ndim
+            pad[axis] = (-off, 0)
+        shifted = jnp.pad(sl, pad)
+        acc = shifted if acc is None else acc + shifted
+    shape = [1] * x.ndim
+    shape[axis] = n
+    return acc * jnp.asarray(_RECIPS).reshape(shape)
+
+
+def _luma(frames_u8: jnp.ndarray) -> jnp.ndarray:
+    """[B, 512, 512, 3] uint8 -> [B, 512, 512] f32 luma x1000 (exact)."""
+    f = frames_u8.astype(jnp.int32)
+    milli = pm.LUMA_R * f[..., 0] + pm.LUMA_G * f[..., 1] + pm.LUMA_B * f[..., 2]
+    return milli.astype(jnp.float32)
+
+
+def _filter_and_decimate(luma: jnp.ndarray) -> jnp.ndarray:
+    """[B, 512, 512] f32 -> [B, 64, 64] f32 (2x (rows, cols) box + gather)."""
+    x = luma
+    for _ in range(pm.N_REPS):
+        x = _box_pass(x, axis=2)  # along each row
+        x = _box_pass(x, axis=1)  # along each column
+    # decimate at (8i+4, 8j+4)
+    return x[:, 4 :: pm.WINDOW, 4 :: pm.WINDOW]
+
+
+def _quality(buf64: jnp.ndarray) -> jnp.ndarray:
+    """[B, 64, 64] f32 -> [B] int32 gradient quality (trunc-to-int matches C)."""
+    dv = (buf64[:, :-1, :] - buf64[:, 1:, :]) * _QS
+    dh = (buf64[:, :, :-1] - buf64[:, :, 1:]) * _QS
+    gs = jnp.abs(dv.astype(jnp.int32)).sum(axis=(1, 2)) + jnp.abs(
+        dh.astype(jnp.int32)
+    ).sum(axis=(1, 2))
+    return jnp.minimum(gs // pm.QUALITY_DENOM, pm.QUALITY_MAX)
+
+
+def _dct16(buf64: jnp.ndarray) -> jnp.ndarray:
+    """[B, 64, 64] f32 -> [B, 16, 16] f32 via fixed-order k mul/add chains.
+
+    Deliberately NOT a matmul: MXU/XLA reduction order would break bit
+    parity with the sequential-k oracle. The arrays are tiny (1/64th of the
+    filter stage), so the 64-step VPU chain is not a bottleneck.
+    """
+    d = jnp.asarray(_DCT)
+    tmp = jnp.zeros(buf64.shape[:1] + (pm.DCT_DIM, pm.BUF_DIM), jnp.float32)
+    for k in range(pm.BUF_DIM):
+        tmp = tmp + d[:, k][None, :, None] * buf64[:, k, :][:, None, :]
+    out = jnp.zeros(buf64.shape[:1] + (pm.DCT_DIM, pm.DCT_DIM), jnp.float32)
+    for k in range(pm.BUF_DIM):
+        out = out + tmp[:, :, k][:, :, None] * d[:, k][None, None, :]
+    return out
+
+
+def _threshold_pack(dct: jnp.ndarray) -> jnp.ndarray:
+    """[B, 16, 16] f32 -> [B, 16] int32 words (w[i] bit j = dct[i,j] > median)."""
+    flat = dct.reshape(dct.shape[0], -1)
+    median = jnp.sort(flat, axis=1)[:, flat.shape[1] // 2 - 1]
+    bits = dct > median[:, None, None]
+    weights = (1 << jnp.arange(pm.DCT_DIM, dtype=jnp.int32))[None, None, :]
+    return jnp.sum(bits.astype(jnp.int32) * weights, axis=2)
+
+
+def pdq_hash_batch(frames_u8: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Hash a batch of pre-scaled frames.
+
+    Args:
+      frames_u8: [B, 512, 512, 3] uint8 rgb24.
+
+    Returns:
+      (words, quality): [B, 16] int32 hash words (w0..w15, 16 low bits
+      significant) and [B] int32 quality. Convert words to canonical 32-byte
+      blobs with :func:`words_to_blobs`.
+    """
+    luma = _luma(frames_u8)
+    buf64 = _filter_and_decimate(luma)
+    q = _quality(buf64)
+    words = _threshold_pack(_dct16(buf64))
+    return words, q
+
+
+pdq_hash_batch_jit = jax.jit(pdq_hash_batch)
+
+
+# ---------------------------------------------------------------------------
+# Host-side packing between device words and canonical 32-byte blobs
+# ---------------------------------------------------------------------------
+
+
+def words_to_blobs(words: np.ndarray) -> list[bytes]:
+    """[B, 16] int/uint words -> list of canonical 32-byte PDQ blobs."""
+    w = np.asarray(words, dtype=np.uint16)  # [B, 16], w0..w15
+    be = w[:, ::-1].astype(">u2")  # w15..w0, big-endian each
+    return [row.tobytes() for row in be]
+
+
+def blobs_to_words(blobs: list[bytes]) -> np.ndarray:
+    """Inverse of words_to_blobs: canonical blobs -> [B, 16] uint16 (w0..w15)."""
+    out = np.zeros((len(blobs), pm.DCT_DIM), dtype=np.uint16)
+    for i, blob in enumerate(blobs):
+        assert len(blob) == pm.BYTES_PER_HASH
+        out[i] = np.frombuffer(blob, dtype=">u2")[::-1]
+    return out

@@ -1,0 +1,122 @@
+"""Fused Pallas TPU kernel for the PDQ filter stage.
+
+The PDQ pipeline's HBM-heavy part is luma + four 512x512 box-filter passes.
+Unfused XLA materializes every pass to HBM (~9 MB/frame of traffic); this
+kernel keeps the whole frame pipeline VMEM-resident: it reads the 768 KB u8
+frame once, computes luma -> 2x(rows, cols) window-8 box passes -> decimate,
+and writes only the 16 KB [64, 64] f32 buffer. The cheap tail of the pipeline
+(quality, DCT, median, packing — tiny arrays) runs as regular XLA ops on the
+kernel output (models/pdq.py), keeping bit-parity logic in one place.
+
+Bit-exactness: the kernel reproduces the oracle's fixed op order exactly —
+ascending-offset shifted adds (pltpu.roll + mask, adding exact zeros outside
+the frame), then multiply by the shared f32 reciprocal constants. Decimation
+is a pure relayout (reshape/transpose), no arithmetic.
+
+Layout note: frames enter planar ([B, 3, 512, 512]) so each plane is a
+well-tiled u8 [512, 512] block.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..vpdq import pdq_math as pm
+
+N = pm.FRAME_DIM  # 512
+B64 = pm.BUF_DIM  # 64
+W = pm.WINDOW  # 8
+
+
+def _box_pass(x: jnp.ndarray, axis: int, recip: jnp.ndarray) -> jnp.ndarray:
+    """Window-8 box pass along ``axis`` of a [512, 512] f32 value.
+
+    Same op order as the oracle: for off in -3..+4, add the rolled copy with
+    out-of-frame positions replaced by exact 0.0; then multiply by the
+    per-position reciprocal (broadcast along the other axis).
+    """
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    acc = None
+    for off in range(-pm.OFF_L, pm.OFF_R + 1):
+        rolled = pltpu.roll(x, (-off) % N, axis)
+        valid = (idx + off >= 0) & (idx + off <= N - 1)
+        term = jnp.where(valid, rolled, 0.0)
+        acc = term if acc is None else acc + term
+    return acc * recip
+
+
+def _pdq_filter_kernel(frame_ref, rrow_ref, rcol_ref, out_ref):
+    r = frame_ref[0, 0].astype(jnp.int32)
+    g = frame_ref[0, 1].astype(jnp.int32)
+    b = frame_ref[0, 2].astype(jnp.int32)
+    luma = (pm.LUMA_R * r + pm.LUMA_G * g + pm.LUMA_B * b).astype(jnp.float32)
+
+    rrow = rrow_ref[:]  # [1, 512] — broadcasts along sublanes (lane pass)
+    rcol = rcol_ref[:]  # [512, 1] — broadcasts along lanes (sublane pass)
+    x = luma
+    for _ in range(pm.N_REPS):
+        x = _box_pass(x, axis=1, recip=rrow)
+        x = _box_pass(x, axis=0, recip=rcol)
+
+    # decimate at (8i+4, 8j+4): sublane-split reshape + transpose (pure
+    # relayout, bit-exact). [512,512] -> rows 4::8 -> [64,512] -> T ->
+    # [512,64] -> cols 4::8 -> [64,64] -> T back.
+    x = x.reshape(B64, W, N)[:, pm.OFF_R, :]
+    x = x.T.reshape(B64, W, B64)[:, pm.OFF_R, :].T
+    out_ref[0] = x
+
+
+@functools.partial(jax.jit, static_argnames=())
+def pdq_filter_batch_pallas(frames_planar_u8: jnp.ndarray) -> jnp.ndarray:
+    """[B, 3, 512, 512] uint8 -> [B, 64, 64] f32 filtered+decimated luma."""
+    batch = frames_planar_u8.shape[0]
+    recips = np.asarray(pm.box_recips(N), dtype=np.float32)
+    rrow = jnp.asarray(recips[None, :])  # [1, 512]
+    rcol = jnp.asarray(recips[:, None])  # [512, 1]
+
+    grid_spec = pl.GridSpec(
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((1, 3, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, B64, B64), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _pdq_filter_kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, B64, B64), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=batch * (N * N * (3 + pm.N_REPS * 2 * (3 * W + 1))),
+            bytes_accessed=batch * (3 * N * N + B64 * B64 * 4),
+            transcendentals=0,
+        ),
+    )(frames_planar_u8, rrow, rcol)
+
+
+def pdq_hash_batch_pallas(frames_planar_u8: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full PDQ hash with the fused filter kernel.
+
+    Args:
+      frames_planar_u8: [B, 3, 512, 512] uint8 (planar rgb).
+
+    Returns:
+      (words [B, 16] int32, quality [B] int32) — identical to
+      models.pdq.pdq_hash_batch on the same frames.
+    """
+    from ..models import pdq as mpdq
+
+    buf64 = pdq_filter_batch_pallas(frames_planar_u8)
+    q = mpdq._quality(buf64)
+    words = mpdq._threshold_pack(mpdq._dct16(buf64))
+    return words, q
+
+
+pdq_hash_batch_pallas_jit = jax.jit(pdq_hash_batch_pallas)

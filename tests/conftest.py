@@ -24,6 +24,19 @@ if _platform == "cpu":
 import pytest  # noqa: E402
 
 
+def _enable_compile_cache() -> None:
+    """XLA-CPU compiles are slow in this sandbox; cache them across runs."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+_enable_compile_cache()
+
+
 @pytest.fixture(scope="session")
 def rng():
     import numpy as np

@@ -1,0 +1,184 @@
+"""Generate the committed test corpus (synthetic stand-in for the reference's
+testdb submodule, which is not vendored — SURVEY.md §2 row 15).
+
+Layout mirrors the reference's testdb:
+  tests/corpus/videos/scene_a/S01_*   — similarity group 1 (same scene,
+                                        different encodings/resolutions)
+  tests/corpus/videos/scene_b/S02_*   — similarity group 2
+  tests/corpus/videos/strange/*       — degenerate inputs that must hash
+                                        without crashing (not similarity-checked)
+  tests/corpus/hashes/<name>.txt      — golden VPDQ hashes (hex) from the
+                                        native oracle
+
+Videos with the same SXX_ prefix must be mutually similar (>= 75); videos
+from different groups must not be. Run with --overwrite to regenerate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+CORPUS = Path(__file__).parent / "corpus"
+VIDEOS = CORPUS / "videos"
+HASHES = CORPUS / "hashes"
+
+
+def smooth_noise(rng: np.random.Generator, h: int, w: int, octaves=3) -> np.ndarray:
+    """Textured grayscale-ish RGB pattern with enough gradient for PDQ quality."""
+    img = np.zeros((h, w, 3), dtype=np.float64)
+    for o in range(octaves):
+        sh, sw = max(2, h >> (octaves - o)), max(2, w >> (octaves - o))
+        layer = rng.random((sh, sw, 3))
+        ri = (np.arange(h) * sh // h), (np.arange(w) * sw // w)
+        up = layer[ri[0]][:, ri[1]]
+        img += up * (0.6**o)
+    img -= img.min()
+    img /= max(img.max(), 1e-9)
+    return (img * 255).astype(np.uint8)
+
+
+def scene_frames(seed: int, n_frames: int, h: int, w: int) -> list[np.ndarray]:
+    """A deterministic 'scene': textured background with motion + drift."""
+    rng = np.random.default_rng(seed)
+    base = smooth_noise(rng, h, w)
+    sprite = smooth_noise(rng, max(1, min(h // 4, h)), max(1, min(w // 4, w)))
+    frames = []
+    for i in range(n_frames):
+        f = np.roll(base, (i * h) // (3 * max(n_frames, 1)), axis=1).astype(np.int32)
+        # moving bright sprite
+        sy = (i * (h - sprite.shape[0])) // max(n_frames - 1, 1)
+        sx = ((n_frames - 1 - i) * (w - sprite.shape[1])) // max(n_frames - 1, 1)
+        f[sy : sy + sprite.shape[0], sx : sx + sprite.shape[1]] //= 2
+        f[sy : sy + sprite.shape[0], sx : sx + sprite.shape[1]] += sprite.astype(np.int32) // 2
+        frames.append(np.clip(f, 0, 255).astype(np.uint8))
+    return frames
+
+
+# --------------------------------------------------------------------------
+# Writers
+# --------------------------------------------------------------------------
+
+
+def write_y4m(path: Path, frames: list[np.ndarray], fps_num=5, fps_den=1) -> None:
+    """C444 full-range y4m (lossless RGB->YUV444 would still quantize; we use
+    an exact-roundtrip trick: store Y=G, U=B+128-ish? No — store real BT.601
+    with the same fixed-point math the decoder inverts approximately; minor
+    loss is fine, hashes are committed post-encode)."""
+    h, w = frames[0].shape[:2]
+    with open(path, "wb") as f:
+        f.write(f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 C444\n".encode())
+        for fr in frames:
+            r = fr[:, :, 0].astype(np.int32)
+            g = fr[:, :, 1].astype(np.int32)
+            b = fr[:, :, 2].astype(np.int32)
+            y = (299 * r + 587 * g + 114 * b + 500) // 1000
+            u = ((-169 * r - 331 * g + 500 * b) + 500 * 255) // 1000 // 1 + 0
+            u = np.clip(((b - y) * 564 + 500) // 1000 + 128, 0, 255)
+            v = np.clip(((r - y) * 713 + 500) // 1000 + 128, 0, 255)
+            y = np.clip(y, 0, 255)
+            f.write(b"FRAME\n")
+            f.write(y.astype(np.uint8).tobytes())
+            f.write(u.astype(np.uint8).tobytes())
+            f.write(v.astype(np.uint8).tobytes())
+
+
+def write_gif(path: Path, frames: list[np.ndarray], fps=5) -> None:
+    from PIL import Image
+
+    imgs = [Image.fromarray(f) for f in frames]
+    imgs[0].save(
+        path,
+        save_all=True,
+        append_images=imgs[1:],
+        duration=int(round(1000 / fps)),
+        loop=0,
+    )
+
+
+def write_avi_mjpg(path: Path, frames: list[np.ndarray], fps=5) -> bool:
+    import cv2
+
+    h, w = frames[0].shape[:2]
+    writer = cv2.VideoWriter(
+        str(path), cv2.VideoWriter_fourcc(*"MJPG"), fps, (w, h), isColor=True
+    )
+    if not writer.isOpened():
+        return False
+    for f in frames:
+        writer.write(f[:, :, ::-1])  # RGB -> BGR
+    writer.release()
+    return True
+
+
+def resize(frames: list[np.ndarray], h: int, w: int) -> list[np.ndarray]:
+    out = []
+    for f in frames:
+        ri = ((2 * np.arange(h) + 1) * f.shape[0]) // (2 * h)
+        ci = ((2 * np.arange(w) + 1) * f.shape[1]) // (2 * w)
+        out.append(np.ascontiguousarray(f[ri][:, ci]))
+    return out
+
+
+def build(overwrite: bool) -> None:
+    for d in (VIDEOS / "scene_a", VIDEOS / "scene_b", VIDEOS / "strange", HASHES):
+        d.mkdir(parents=True, exist_ok=True)
+
+    fps = 5
+    n = 40  # 8 sampled frames at 5 fps
+
+    # Group S01
+    a = scene_frames(101, n, 120, 160)
+    write_y4m(VIDEOS / "scene_a" / "S01_master.y4m", a, fps)
+    write_gif(VIDEOS / "scene_a" / "S01_gif.gif", a, fps)
+    write_avi_mjpg(VIDEOS / "scene_a" / "S01_mjpg.avi", a, fps)
+    write_y4m(VIDEOS / "scene_a" / "S01_small.y4m", resize(a, 72, 96), fps)
+
+    # Group S02
+    b = scene_frames(202, n, 120, 160)
+    write_y4m(VIDEOS / "scene_b" / "S02_master.y4m", b, fps)
+    write_gif(VIDEOS / "scene_b" / "S02_gif.gif", b, fps)
+    write_avi_mjpg(VIDEOS / "scene_b" / "S02_mjpg.avi", b, fps)
+
+    # Strange corpus: must hash (possibly to empty) without crashing.
+    strange = VIDEOS / "strange"
+    one = scene_frames(303, 1, 64, 64)
+    write_gif(strange / "one_frame.gif", one, fps=1)
+    tiny = scene_frames(304, 6, 4, 4)
+    write_y4m(strange / "tiny_4x4.y4m", tiny, 2)
+    black = [np.zeros((32, 32, 3), np.uint8)] * 5
+    write_y4m(strange / "all_black.y4m", black, 5)  # quality 0 -> empty hash
+    thin = scene_frames(305, 8, 8, 256)
+    write_y4m(strange / "thin_8x256.y4m", thin, 4)
+    fast = scene_frames(306, 30, 48, 64)
+    write_y4m(strange / "high_fps.y4m", fast, 30)  # 30 fps, 1 s -> 1 sampled frame
+    mono_frames = scene_frames(307, 6, 40, 40)
+    with open(strange / "mono.y4m", "wb") as f:
+        f.write(b"YUV4MPEG2 W40 H40 F5:1 Cmono\n")
+        for fr in mono_frames:
+            f.write(b"FRAME\n")
+            f.write(fr[:, :, 1].tobytes())
+
+    # Golden hashes from the native oracle.
+    sys.path.insert(0, str(Path(__file__).parents[1]))
+    from hydrus_video_deduplicator_tpu.hashing import compute_phash
+
+    for vid in sorted(VIDEOS.rglob("*")):
+        if not vid.is_file():
+            continue
+        out = HASHES / f"{vid.name}.txt"
+        if out.exists() and not overwrite:
+            continue
+        phash = compute_phash(vid)
+        out.write_text(str(phash) + "\n")
+        print(f"{vid.relative_to(CORPUS)}: {len(phash)} frames")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--overwrite", action="store_true")
+    args = ap.parse_args()
+    build(args.overwrite)

@@ -1,0 +1,98 @@
+"""Decode layer: sampling parity, rescale determinism, backend behavior."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hydrus_video_deduplicator_tpu.decode import (
+    DecodeError,
+    extract_frames,
+    resize_nearest_512,
+    sample_indices,
+)
+from hydrus_video_deduplicator_tpu.decode.backends import (
+    OpenCVBackend,
+    PillowBackend,
+    Y4MBackend,
+    choose_backend,
+)
+from hydrus_video_deduplicator_tpu.decode.frames import effective_sample_step
+
+
+def test_sample_step_reference_parity():
+    # reference vpdqpy.py:71-77: round(avg_fps), None/<1 -> every frame
+    assert effective_sample_step(None) == 1
+    assert effective_sample_step(0.5) == 1
+    assert effective_sample_step(29.97) == 30
+    assert effective_sample_step(23.976) == 24
+    assert effective_sample_step(2.5) == 2  # banker's round, like Python round()
+    assert effective_sample_step(float("nan")) == 1
+    assert sample_indices(10, 4.0) == [0, 4, 8]
+
+
+def test_resize_nearest_center_sampling():
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = resize_nearest_512(img)
+    assert out.shape == (512, 512, 3)
+    # center-based: src row = floor((i+0.5)*4/512)
+    assert (out[0] == img[0, 0]).all() is not None
+    ri = ((2 * np.arange(512) + 1) * 4) // 1024
+    ci = ((2 * np.arange(512) + 1) * 6) // 1024
+    assert np.array_equal(out, img[ri][:, ci])
+    # already-512 input passes through untouched
+    big = np.zeros((512, 512, 3), np.uint8)
+    assert resize_nearest_512(big).shape == (512, 512, 3)
+
+
+def test_backend_sniffing():
+    assert isinstance(choose_backend(b"YUV4MPEG2 W2 H2\n"), Y4MBackend)
+    assert isinstance(choose_backend(b"GIF89a" + b"\0" * 10), PillowBackend)
+    assert isinstance(choose_backend(b"\x89PNG\r\n" + b"\0" * 10), PillowBackend)
+    assert isinstance(choose_backend(b"RIFF\0\0\0\0WEBP"), PillowBackend)
+    assert isinstance(choose_backend(b"\x00\x00\x00 ftypisom"), OpenCVBackend)
+
+
+def test_y4m_roundtrip_mono():
+    data = b"YUV4MPEG2 W4 H2 F2:1 Cmono\n" + b"FRAME\n" + bytes(range(8))
+    frames = list(Y4MBackend().decode(data, None))
+    assert len(frames) == 1
+    frame, fps = frames[0]
+    assert fps == 2.0
+    assert frame.shape == (2, 4, 3)
+    assert np.array_equal(frame[:, :, 0].reshape(-1), np.arange(8, dtype=np.uint8))
+
+
+def test_extract_frames_sampling_y4m():
+    # 10 frames at 5 fps -> every 5th frame sampled (indices 0 and 5)
+    w = h = 8
+    payload = b""
+    for i in range(10):
+        payload += b"FRAME\n" + bytes([i]) * (w * h)
+    data = f"YUV4MPEG2 W{w} H{h} F5:1 Cmono\n".encode() + payload
+    frames = list(extract_frames(data))
+    assert len(frames) == 2
+    assert frames[0][0, 0, 0] == 0 and frames[1][0, 0, 0] == 5
+    assert frames[0].shape == (512, 512, 3)
+
+
+def test_garbage_input_raises():
+    with pytest.raises(DecodeError):
+        list(extract_frames(b"this is not a video at all"))
+    with pytest.raises(DecodeError):
+        list(extract_frames("/nonexistent/path/video.mp4"))
+
+
+def test_gif_decode(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    imgs = [
+        Image.fromarray(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+        for _ in range(4)
+    ]
+    p = tmp_path / "t.gif"
+    imgs[0].save(p, save_all=True, append_images=imgs[1:], duration=1000, loop=0)
+    frames = list(extract_frames(p))
+    assert len(frames) == 4  # 1 fps -> every frame
+    assert frames[0].shape == (512, 512, 3)

@@ -1,0 +1,90 @@
+"""Device similarity primitives vs the native/numpy oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hydrus_video_deduplicator_tpu import native
+from hydrus_video_deduplicator_tpu.ops import similarity as sim
+from hydrus_video_deduplicator_tpu.vpdq import python_ref
+
+pytestmark = pytest.mark.skipif(not native.is_available(), reason="native lib not built")
+
+
+def test_packed_roundtrip(rng):
+    blob = rng.integers(0, 256, (7 * 32,), dtype=np.uint8).tobytes()
+    assert sim.packed_to_blobs(sim.blobs_to_packed(blob)) == blob
+
+
+def test_hamming_tiles_match_oracle(rng):
+    import jax.numpy as jnp
+
+    a = rng.integers(0, 256, (13, 32), dtype=np.uint8)
+    b = rng.integers(0, 256, (17, 32), dtype=np.uint8)
+    pa, pb = jnp.asarray(a.view(np.uint32)), jnp.asarray(b.view(np.uint32))
+    ref = python_ref.hamming_matrix(a, b)
+    assert np.array_equal(np.asarray(sim.hamming_tile_packed(pa, pb)), ref)
+    assert np.array_equal(np.asarray(sim.hamming_tile_popcount(pa, pb)), ref)
+    assert np.array_equal(native.hamming_matrix(a.tobytes(), b.tobytes()), ref)
+
+
+def _random_corpus(rng, n_vids, max_frames=6, with_pairs=True):
+    counts = rng.integers(0, max_frames, n_vids).astype(np.int32)
+    vids = [rng.integers(0, 256, (c, 32), dtype=np.uint8) for c in counts]
+    if with_pairs and len(vids) > 4 and counts[1] > 0:
+        near = vids[1].copy()
+        near[0, 0] ^= 0b101  # flip 2 bits of the first frame
+        vids[4] = near
+        counts[4] = counts[1]
+    return vids, counts
+
+
+def test_video_similarity_matches_native(rng):
+    import jax.numpy as jnp
+
+    vids, counts = _random_corpus(rng, 10)
+    ids, frames = [], []
+    for i, v in enumerate(vids):
+        for f in v:
+            ids.append(i)
+            frames.append(f)
+    frames = np.asarray(frames, dtype=np.uint8).reshape(-1, 32)
+    ids = np.asarray(ids, dtype=np.int32)
+    packed = jnp.asarray(frames.view(np.uint32))
+    ham = sim.hamming_tile_packed(packed, packed)
+    S = np.asarray(
+        sim.video_pair_similarity(
+            ham,
+            jnp.asarray(ids),
+            jnp.asarray(ids),
+            jnp.asarray(counts),
+            jnp.asarray(counts),
+            len(vids),
+            len(vids),
+        )
+    )
+    for i in range(len(vids)):
+        for j in range(len(vids)):
+            ref = int(native.match_hash_bytes(vids[i].tobytes(), vids[j].tobytes(), 31))
+            assert S[i, j] == ref, (i, j, S[i, j], ref)
+    # distance mapping
+    d = np.asarray(sim.int_similarity_to_distance(S))
+    assert d.min() >= 1 and d.max() <= 101
+
+
+def test_empty_videos_never_match(rng):
+    import jax.numpy as jnp
+
+    counts = np.asarray([0, 3, 0], np.int32)
+    frames = rng.integers(0, 256, (3, 32), dtype=np.uint8)
+    ids = np.asarray([1, 1, 1], np.int32)
+    packed = jnp.asarray(frames.view(np.uint32))
+    ham = sim.hamming_tile_packed(packed, packed)
+    S = np.asarray(
+        sim.video_pair_similarity(
+            ham, jnp.asarray(ids), jnp.asarray(ids), jnp.asarray(counts), jnp.asarray(counts), 3, 3
+        )
+    )
+    assert S[0].max() == 0 and S[:, 0].max() == 0 and S[2].max() == 0
+    assert S[1, 1] == 100
