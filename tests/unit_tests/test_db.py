@@ -1,0 +1,237 @@
+"""DB layer tests (mirrors reference tests/unit_tests/test_db.py) plus
+VP-tree behavior tests against brute-force ground truth."""
+
+from __future__ import annotations
+
+import sqlite3
+import uuid
+from pathlib import Path
+from tempfile import TemporaryDirectory
+
+import numpy as np
+import pytest
+
+from hydrus_video_deduplicator_tpu.db import DedupeDB, vptree
+from hydrus_video_deduplicator_tpu.vpdq import matchHashBytes
+
+
+def somedbdir():
+    return str(uuid.uuid4().hex)
+
+
+def test_set_get_db_dir():
+    with TemporaryDirectory() as tmp:
+        d = Path(tmp) / somedbdir()
+        DedupeDB.set_db_dir(d)
+        assert DedupeDB.get_db_dir() == d
+        assert DedupeDB.get_db_file_path() == d / "videohashes.sqlite"
+
+
+def test_create_db_schema():
+    with TemporaryDirectory() as tmp:
+        DedupeDB.set_db_dir(Path(tmp) / somedbdir())
+        DedupeDB.create_db()
+        path = DedupeDB.get_db_file_path()
+        assert path.is_file()
+
+        con = sqlite3.connect(path)
+        cur = con.cursor()
+        tables = {r[0] for r in cur.execute("SELECT name FROM sqlite_master WHERE type='table'")}
+        assert tables == {
+            "version",
+            "files",
+            "phashed_file_queue",
+            "shape_maintenance_branch_regen",
+            "shape_perceptual_hash_map",
+            "shape_perceptual_hashes",
+            "shape_search_cache",
+            "shape_vptree",
+        }
+        expected_columns = {
+            "files": ["hash_id", "file_hash"],
+            "phashed_file_queue": ["file_hash", "phash"],
+            "shape_maintenance_branch_regen": ["phash_id"],
+            "shape_perceptual_hash_map": ["phash_id", "hash_id"],
+            "shape_perceptual_hashes": ["phash_id", "phash"],
+            "shape_search_cache": ["hash_id", "searched_distance"],
+            "shape_vptree": [
+                "phash_id",
+                "parent_id",
+                "radius",
+                "inner_id",
+                "inner_population",
+                "outer_id",
+                "outer_population",
+            ],
+        }
+        for table, cols in expected_columns.items():
+            rows = cur.execute(f"SELECT {', '.join(cols)} FROM {table}").fetchall()
+            assert rows == []
+        version = cur.execute("SELECT version FROM version").fetchall()
+        assert version == [(DedupeDB.DB_VERSION,)]
+        con.close()
+
+
+def test_version_roundtrip_and_semver():
+    with TemporaryDirectory() as tmp:
+        DedupeDB.set_db_dir(Path(tmp) / somedbdir())
+        DedupeDB.create_db()
+        db = DedupeDB.DedupeDb(DedupeDB.get_db_dir(), DedupeDB.get_db_name())
+        db.init_connection()
+        db.set_version("1.2.3")
+        assert db.get_version() == "1.2.3"
+        db.close()
+
+    sv = DedupeDB.SemanticVersion
+    assert sv("0.1.0") < sv("0.2.0")
+    assert sv("1.0.10") < sv("1.1.0")
+    assert sv("1.0.0") >= sv("0.0.100")
+    assert sv("0.0.0") == sv("0.0.0")
+    with pytest.raises(DedupeDB.DedupeDbException):
+        sv("1.2")
+    with pytest.raises(DedupeDB.DedupeDbException):
+        sv("a.b.c")
+
+
+def test_downgrade_refused():
+    with TemporaryDirectory() as tmp:
+        DedupeDB.set_db_dir(Path(tmp) / somedbdir())
+        DedupeDB.create_db()
+        db = DedupeDB.DedupeDb(DedupeDB.get_db_dir(), DedupeDB.get_db_name())
+        db.init_connection()
+        db.set_version("99.0.0")
+        db.commit()
+        with pytest.raises(DedupeDB.DedupeDbException):
+            db.upgrade_db()
+        db.close()
+
+
+def test_migration_0_10_0_hash_conversion():
+    """Old JSON 'phash,quality,frame' triples -> packed bytes, byte order
+    reversed, quality < 31 dropped (reference DedupeDB.py:525-577)."""
+    import json
+
+    with TemporaryDirectory() as tmp:
+        DedupeDB.set_db_dir(Path(tmp) / somedbdir())
+        DedupeDB.create_db()
+        db = DedupeDB.DedupeDb(DedupeDB.get_db_dir(), DedupeDB.get_db_name())
+        db.init_connection()
+        db.set_version("0.7.0")
+        h1 = bytes(range(32))
+        h2 = bytes(range(32, 64))
+        old = json.dumps([f"{h1[::-1].hex()},80,0", f"{h2[::-1].hex()},30,1"])
+        db.execute(
+            "REPLACE INTO phashed_file_queue (file_hash, phash) VALUES ('f1', :p)", {"p": old}
+        )
+        db.commit()
+        assert db.upgrade_db()
+        (phash,) = db.execute(
+            "SELECT phash FROM phashed_file_queue WHERE file_hash='f1'"
+        ).fetchone()
+        assert phash == h1  # quality-30 frame dropped, byte order restored
+        assert db.get_version() == DedupeDB.DB_VERSION
+        db.close()
+
+
+@pytest.fixture
+def fresh_db(tmp_path):
+    DedupeDB.set_db_dir(tmp_path / somedbdir())
+    DedupeDB.create_db()
+    db = DedupeDB.DedupeDb(DedupeDB.get_db_dir(), DedupeDB.get_db_name())
+    db.init_connection()
+    yield db
+    db.close()
+
+
+def _insert_corpus(db, vids: dict[str, bytes]):
+    for file_hash, phash in vids.items():
+        db.add_to_phashed_files_queue(file_hash, phash)
+    # drain the queue like the orchestrator does
+    for file_hash, phash in db.execute(
+        "SELECT file_hash, phash FROM phashed_file_queue"
+    ).fetchall():
+        db.add_file(file_hash)
+        db.add_perceptual_hash(phash)
+        db.associate_file_with_perceptual_hash(file_hash, phash)
+        db.execute(
+            "DELETE FROM phashed_file_queue WHERE file_hash = ?", (file_hash,)
+        )
+
+
+def _random_corpus(n=40, seed=7) -> dict[str, bytes]:
+    rng = np.random.default_rng(seed)
+    vids = {}
+    base = rng.integers(0, 256, (n, 2, 32), dtype=np.uint8)
+    for i in range(n):
+        frames = base[i]
+        if i % 5 == 0 and i > 0:
+            # near-duplicate of a previous video: few bits flipped
+            frames = base[i - 1].copy()
+            frames[0, 0] ^= 0b11
+        vids[f"file{i:03d}"] = frames.tobytes()
+    return vids
+
+
+def test_vptree_search_matches_bruteforce(fresh_db):
+    db = fresh_db
+    vids = _random_corpus()
+    _insert_corpus(db, vids)
+    tree = vptree.VpTreeManager(db)
+    threshold = vptree.fix_vpdq_similarity(75.0)
+
+    # ground truth by brute force over all stored pairs
+    items = list(vids.items())
+    for file_hash, phash in items:
+        hash_id = db.get_hash_id(file_hash)
+        got = {h for h, d in tree.search_file(hash_id, threshold)}
+        expected = {
+            db.get_hash_id(other)
+            for other, other_phash in items
+            if vptree.fix_vpdq_similarity(matchHashBytes(phash, other_phash, 31)) <= threshold
+        }
+        expected.add(hash_id)  # search_file always includes self
+        assert got == expected, f"{file_hash}: tree {got} vs brute {expected}"
+
+
+def test_vptree_maintenance_and_regenerate(fresh_db):
+    db = fresh_db
+    vids = _random_corpus(n=60, seed=11)
+    _insert_corpus(db, vids)
+    tree = vptree.VpTreeManager(db)
+    tree.maintain_tree()  # drains any flagged branches
+    assert (
+        db.execute("SELECT COUNT(*) FROM shape_maintenance_branch_regen").fetchone()[0] == 0
+    )
+    # full regenerate keeps search results identical
+    threshold = vptree.fix_vpdq_similarity(75.0)
+    some_file = next(iter(vids))
+    hash_id = db.get_hash_id(some_file)
+    before = set(tree.search_file(hash_id, threshold))
+    tree.regenerate_tree()
+    tree2 = vptree.VpTreeManager(db)
+    after = set(tree2.search_file(hash_id, threshold))
+    assert before == after
+
+
+def test_clear_search_tree_requeues(fresh_db):
+    db = fresh_db
+    vids = _random_corpus(n=10, seed=3)
+    _insert_corpus(db, vids)
+    assert db.execute("SELECT COUNT(*) FROM phashed_file_queue").fetchone()[0] == 0
+    db.clear_search_tree()
+    assert db.execute("SELECT COUNT(*) FROM shape_vptree").fetchone()[0] == 0
+    assert db.execute("SELECT COUNT(*) FROM phashed_file_queue").fetchone()[0] == len(vids)
+    assert db.get_num_phashed_files() == len(vids)  # queue counts as phashed
+
+
+def test_identical_phashes_share_id(fresh_db):
+    db = fresh_db
+    phash = bytes(range(32))
+    _insert_corpus(db, {"a": phash, "b": phash})
+    assert (
+        db.execute("SELECT COUNT(*) FROM shape_perceptual_hashes").fetchone()[0] == 1
+    )
+    tree = vptree.VpTreeManager(db)
+    ha, hb = db.get_hash_id("a"), db.get_hash_id("b")
+    got = {h for h, d in tree.search_file(ha, vptree.fix_vpdq_similarity(75.0))}
+    assert got == {ha, hb}
