@@ -1,0 +1,98 @@
+"""Headline benchmark: PDQ frames hashed per second per chip (fused Pallas path).
+
+Prints ONE JSON line to stdout:
+  {"metric": "pdq_hash_frames_per_sec_per_chip", "value": N, "unit":
+   "frames/s", "vs_baseline": R}
+
+vs_baseline is the ratio against the north-star target of 50,000 bit-exact
+VPDQ frames/s/chip (BASELINE.md; the reference publishes no hardware numbers
+— its only recorded figure is ~7.5 s for a small clip set on a desktop CPU,
+roughly 10-40 frames/s/core).
+
+Timing notes: frames are generated on-device and iterations are chained
+through a scalar carry so the device must execute every step before the
+final host transfer (plain block_until_ready is unreliable through remote-
+tunnel TPU transports). Secondary diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import os
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    platform = jax.devices()[0].platform
+    log(f"device: {jax.devices()[0]} ({platform})")
+
+    from hydrus_video_deduplicator_tpu.models import pdq as mpdq
+
+    if platform == "tpu":
+        from hydrus_video_deduplicator_tpu.ops.pdq_pallas import pdq_hash_batch_pallas
+
+        def hash_fn(frames_planar):
+            return pdq_hash_batch_pallas(frames_planar)
+
+        layout = "planar"
+    else:  # CPU fallback: XLA path (pallas needs real TPU)
+        def hash_fn(frames_planar):
+            return mpdq.pdq_hash_batch(frames_planar.transpose(0, 2, 3, 1))
+
+        layout = "planar->interleaved"
+
+    B = 256
+    key = jax.random.PRNGKey(0)
+    frames = jax.random.randint(key, (B, 3, 512, 512), 0, 256, dtype=jnp.uint8)
+
+    @jax.jit
+    def step(frames, carry):
+        # tiny data dependency so steps serialize on-device
+        f = frames.at[0, 0, 0, 0].set((carry % 251).astype(jnp.uint8))
+        words, q = hash_fn(f)
+        return carry + jnp.sum(words) + jnp.sum(q)
+
+    carry = jnp.int32(0)
+    t0 = time.time()
+    carry = step(frames, carry)
+    int(carry)
+    log(f"compile+first batch ({layout}): {time.time() - t0:.1f}s")
+
+    iters = 20
+    t0 = time.time()
+    for _ in range(iters):
+        carry = step(frames, carry)
+    int(carry)  # host transfer forces the whole chain
+    dt = (time.time() - t0) / iters
+    frames_per_sec = B / dt
+
+    log(f"{dt * 1000:.2f} ms / {B}-frame batch")
+
+    baseline_target = 50_000.0
+    print(
+        json.dumps(
+            {
+                "metric": "pdq_hash_frames_per_sec_per_chip",
+                "value": round(frames_per_sec, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(frames_per_sec / baseline_target, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,584 @@
+"""The 4-stage resumable dedupe orchestrator.
+
+Reference behavior: /root/reference/src/hydrusvideodeduplicator/dedup.py
+(HydrusVideoDeduplicator, FileHasher, progress dataclasses, per-file failure
+handling, periodic commits, CTRL+C checkpointing).
+
+Stages (each independently interruptible; progress persists in SQLite):
+  1. hash videos           -> phashed_file_queue         (commit every 4)
+  2. drain queue           -> tables + VP-tree insert    (commit every 64)
+  3. tree maintenance      -> branch rebuilds if due
+  4. search for duplicates -> mark pairs in Hydrus       (commit every 64)
+
+Stage 4 has two engines with identical observable semantics:
+  - "tree": the reference's VP-tree descent (per-file, incremental)
+  - "tpu":  the exact all-pairs TPU engine (parallel/engine.py) — default
+            when a batch of files needs searching; strictly more correct
+            than the tree (no metric assumption) and orders of magnitude
+            faster at corpus scale.
+Both honor the shape_search_cache contract, so runs are incremental and the
+two engines can be mixed across runs.
+"""
+
+from __future__ import annotations
+
+import gc
+import logging
+import time
+from dataclasses import dataclass
+from typing import TYPE_CHECKING
+
+try:
+    from rich import print
+except ImportError:  # pragma: no cover
+    pass
+
+from tqdm import tqdm
+
+from .client import HVDClient
+from .client import hydrus_api
+from .db import DedupeDB, vptree
+from .hashing import compute_phash
+from .page_logger import HydrusPageLogger
+
+if TYPE_CHECKING:
+    from collections.abc import Callable, Sequence
+    from typing import TypeAlias
+
+    FileHash = str
+
+log = logging.getLogger("hvd")
+
+
+# ---------------------------------------------------------------------------
+# results / failures / progress
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PerceptuallyHashedFile:
+    file_hash: "FileHash"
+    perceptual_hash: bytes
+
+
+@dataclass
+class FailedPerceptuallyHashedFile:
+    file_hash: "FileHash"
+    exc: Exception
+
+
+class HydrusApiException(Exception):
+    """Wrapper that decouples FileHasher callers from the API library."""
+
+
+class FailedPerceptualHashException(Exception):
+    def __init__(self, file_hash: "FileHash", other_exc: str = ""):
+        super().__init__()
+        self.file_hash = file_hash
+        self.other_exc = other_exc
+
+
+@dataclass
+class PerceptualHashingStats:
+    success_hash_count: int = 0
+    failed_from_api_errors_count: int = 0
+    failed_from_phash_count: int = 0
+
+
+class CancelledPerceptualHashException(Exception):
+    def __init__(self, stats: PerceptualHashingStats):
+        super().__init__()
+        self.stats = stats
+
+
+@dataclass
+class NoneProgress:
+    placeholder: None = None
+
+
+@dataclass
+class HashingProgress:
+    complete: int
+    total: int
+
+
+@dataclass
+class BuildingSearchTreeProgress:
+    complete: int
+    total: int
+
+
+@dataclass
+class SearchingForDuplicatesProgress:
+    complete: int
+    total: int
+
+
+@dataclass
+class DoneProgress:
+    placeholder: None = None
+
+
+@dataclass
+class DedupeProgress:
+    progress: (
+        NoneProgress
+        | HashingProgress
+        | BuildingSearchTreeProgress
+        | SearchingForDuplicatesProgress
+        | DoneProgress
+    )
+
+
+if TYPE_CHECKING:
+    UpdateDedupeProgressCallback: TypeAlias = Callable[[DedupeProgress], None]
+
+
+# ---------------------------------------------------------------------------
+# FileHasher
+# ---------------------------------------------------------------------------
+
+
+class FileHasher:
+    """Fetch a file from Hydrus and perceptually hash it, with typed
+    failure results and a cool-down after API errors."""
+
+    API_ERROR_BACKOFF_SECONDS = 3
+
+    def __init__(self, client: HVDClient, num_threads: int = 0):
+        self.client = client
+        self.num_threads = num_threads
+
+    def _fetch_file(self, file_hash: str) -> bytes:
+        try:
+            response = self.client.client.get_file(hash_=file_hash)
+        except hydrus_api.HydrusAPIException as exc:
+            raise HydrusApiException(exc)
+        return response.content
+
+    def _phash_file(self, file: bytes) -> bytes:
+        try:
+            phash_bytes = compute_phash(file, self.num_threads).bytes
+        except Exception as exc:
+            raise FailedPerceptualHashException("", str(exc))
+        # Empty hashes are legitimate (all frames below quality floor).
+        if phash_bytes is None or len(phash_bytes) % 32 != 0:
+            raise FailedPerceptualHashException("", "phash was None or not a multiple of 32 bytes.")
+        return phash_bytes
+
+    def fetch_and_phash_file(
+        self, file_hash: str
+    ) -> PerceptuallyHashedFile | FailedPerceptuallyHashedFile:
+        try:
+            file = self._fetch_file(file_hash)
+        except HydrusApiException as exc:
+            # brief cool-down so one transient API failure doesn't cascade
+            time.sleep(self.API_ERROR_BACKOFF_SECONDS)
+            return FailedPerceptuallyHashedFile(file_hash, exc)
+        try:
+            phash = self._phash_file(file)
+        except FailedPerceptualHashException as exc:
+            return FailedPerceptuallyHashedFile(file_hash, exc)
+        return PerceptuallyHashedFile(file_hash, phash)
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator
+# ---------------------------------------------------------------------------
+
+
+class HydrusVideoDeduplicator:
+    hydlog = log
+    threshold: float = 75.0
+    _DEBUG = False
+
+    HASH_COMMIT_BATCH = 4
+    TREE_COMMIT_BATCH = 64
+    SEARCH_COMMIT_BATCH = 64
+    #: use the TPU engine when at least this many files need searching
+    TPU_ENGINE_MIN_BATCH = 16
+
+    def __init__(
+        self,
+        db: DedupeDB.DedupeDb,
+        client: HVDClient,
+        job_count: int = -2,
+        failed_page_name: str | None = None,
+        custom_query: "Sequence[str] | None" = None,
+        update_progress_callback: "UpdateDedupeProgressCallback | None" = None,
+        should_skip_step_fn: "Callable[[], bool] | None" = None,
+        search_backend: str = "auto",  # "auto" | "tree" | "tpu"
+    ):
+        self.db = db
+        self.client = client
+        self.job_count = job_count
+        self.page_logger = (
+            None if failed_page_name is None else HydrusPageLogger(client, failed_page_name)
+        )
+        self.search_tags = self.get_search_tags(custom_query)
+        self.update_progress_callback = update_progress_callback
+        if self.update_progress_callback:
+            self.update_progress_callback(NoneProgress())
+        self.should_skip_step_fn = should_skip_step_fn
+        self.search_backend = search_backend
+
+    # -- stage 0: discovery ------------------------------------------------
+
+    def get_search_tags(self, custom_query: "Sequence[str] | None") -> list[str]:
+        search_tags = [
+            "system:filetype=video, gif, apng",
+            "system:has duration",
+            "system:file service is not currently in trash",
+        ]
+        if custom_query is not None:
+            custom_query = [q for q in custom_query if q.strip()]
+            if custom_query:
+                search_tags.extend(custom_query)
+                print(f"[yellow] Custom Query: {custom_query}")
+        return search_tags
+
+    def filter_unhashed(self, file_hashes: "list[FileHash]") -> "list[FileHash]":
+        already = set(self.db.get_phashed_files())
+        return [h for h in file_hashes if h not in already]
+
+    # -- top level ---------------------------------------------------------
+
+    def deduplicate(self, skip_hashing: bool) -> int:
+        """Run the full pipeline; returns the number of similar pairs found."""
+        num_similar_pairs = 0
+
+        if skip_hashing:
+            print("[yellow] Skipping perceptual hashing")
+        else:
+            video_hashes = list(self.client.get_video_hashes(self.search_tags))
+            video_hashes = self.filter_unhashed(video_hashes)
+            print(f"[blue] Found {len(video_hashes)} eligible files to perceptually hash.")
+            print("\nTip: You can skip perceptual hashing at any time by pressing CTRL+C.")
+            self.db.begin_transaction()
+            with self.db.conn:
+                stats = PerceptualHashingStats()
+                try:
+                    stats = self.add_perceptual_hashes_to_db(video_hashes)
+                except CancelledPerceptualHashException as exc:
+                    stats = exc.stats
+                    print("[yellow] Perceptual hash processing was interrupted! Progress was saved.")
+                else:
+                    print("[green] Finished perceptual hash processing.")
+                finally:
+                    if self.update_progress_callback:
+                        self.update_progress_callback(NoneProgress())
+                    self._print_hashing_stats(stats)
+
+        print("\nTip: You can skip building the search tree at any time by pressing CTRL+C.")
+        self.db.begin_transaction()
+        with self.db.conn:
+            try:
+                self.process_phashed_file_queue()
+            except KeyboardInterrupt:
+                print("[yellow] Building the search tree was interrupted! Progress was saved.")
+            else:
+                print("[green] Finished fully building the search tree.")
+
+        self.db.begin_transaction()
+        with self.db.conn:
+            try:
+                self.run_maintenance()
+            except KeyboardInterrupt:
+                print("[yellow] Maintenance was interrupted!")
+            else:
+                print("[green] Finished maintenance.")
+
+        pre_dedupe_count = self.client.get_potential_duplicate_count_hydrus()
+
+        print("\nTip: You can skip finding potential duplicates at any time by pressing CTRL+C.")
+        self.db.begin_transaction()
+        with self.db.conn:
+            try:
+                num_similar_pairs = self.find_potential_duplicates()
+            except KeyboardInterrupt:
+                print("[yellow] Searching for duplicates was interrupted! Progress was saved.")
+
+        post_dedupe_count = self.client.get_potential_duplicate_count_hydrus()
+        new_count = post_dedupe_count - pre_dedupe_count
+        if new_count > 0:
+            print(f"[green] {new_count} new potential duplicate pairs marked for manual processing!")
+        else:
+            print("[green] No new potential duplicate pairs found.")
+
+        log.info("%d similar file pairs found.", num_similar_pairs)
+        log.info("Deduplication done.")
+        if self.update_progress_callback:
+            self.update_progress_callback(DoneProgress())
+        return num_similar_pairs
+
+    def _print_hashing_stats(self, stats: PerceptualHashingStats) -> None:
+        total_failures = stats.failed_from_api_errors_count + stats.failed_from_phash_count
+        if total_failures > 0:
+            print(f"[yellow] Perceptual hash processing had {total_failures} total failed files.")
+            if stats.failed_from_api_errors_count > 0:
+                print(
+                    f"[yellow] {stats.failed_from_api_errors_count} failures were due to API"
+                    " errors. Ensure Hydrus is running and accessible before trying again."
+                )
+            if stats.failed_from_phash_count > 0:
+                print(
+                    f"[yellow] {stats.failed_from_phash_count} failures were from an error"
+                    " during perceptual hashing. Are the files corrupted?"
+                )
+                print(
+                    "\nTip: You could have seen which files failed directly in Hydrus by"
+                    " creating a Hydrus page with the name 'failed' and running the"
+                    " program with '--failed-page-name=failed'\n"
+                )
+        print(f"[green] Added {stats.success_hash_count} new perceptual hashes to the database.")
+
+    # -- stage 1: hashing --------------------------------------------------
+
+    def add_perceptual_hashes_to_db(self, video_hashes: "Sequence[str]") -> PerceptualHashingStats:
+        stats = PerceptualHashingStats()
+        try:
+            with tqdm(
+                total=len(video_hashes),
+                desc="Perceptually hashing files",
+                dynamic_ncols=True,
+                unit="file",
+                colour="BLUE",
+            ) as pbar:
+                hasher = FileHasher(self.client, self.job_count)
+                success_count = 0
+                for video_hash in video_hashes:
+                    if self.update_progress_callback:
+                        self.update_progress_callback(
+                            HashingProgress(complete=pbar.n + 1, total=pbar.total)
+                        )
+                    if self.should_skip_step_fn and self.should_skip_step_fn():
+                        return stats
+
+                    result = hasher.fetch_and_phash_file(video_hash)
+                    if isinstance(result, FailedPerceptuallyHashedFile):
+                        if isinstance(result.exc, HydrusApiException):
+                            stats.failed_from_api_errors_count += 1
+                            print("[red] Hydrus API error during perceptual hashing:")
+                            print(f"{result.exc}")
+                        else:
+                            stats.failed_from_phash_count += 1
+                            print("[red] Failed to perceptually hash a file.")
+                            print(f"Failed file SHA256 hash: {result.file_hash}")
+                            print(f"{result.exc}")
+                            if self.page_logger:
+                                self.page_logger.add_failed_video(result.file_hash)
+                    else:
+                        self.db.add_to_phashed_files_queue(result.file_hash, result.perceptual_hash)
+                        stats.success_hash_count += 1
+                        success_count += 1
+                        if success_count % self.HASH_COMMIT_BATCH == 0:
+                            self.db.commit()
+
+                    gc.collect()  # bound memory held by video bytes/frames
+                    pbar.update(1)
+                    if self.update_progress_callback:
+                        self.update_progress_callback(
+                            HashingProgress(complete=pbar.n, total=pbar.total)
+                        )
+        except KeyboardInterrupt:
+            raise CancelledPerceptualHashException(stats)
+        gc.collect()
+        return stats
+
+    # -- stage 2: queue -> tree -------------------------------------------
+
+    def process_phashed_file_queue(self) -> None:
+        rows = self.db.execute("SELECT file_hash, phash FROM phashed_file_queue").fetchall()
+        with tqdm(
+            total=len(rows),
+            desc="Building search tree",
+            dynamic_ncols=True,
+            unit="file",
+            colour="BLUE",
+        ) as pbar:
+            for i, (file_hash, phash) in enumerate(rows, start=1):
+                if self.update_progress_callback:
+                    self.update_progress_callback(
+                        BuildingSearchTreeProgress(complete=pbar.n, total=pbar.total)
+                    )
+                if self.should_skip_step_fn and self.should_skip_step_fn():
+                    return
+                self.db.add_file(file_hash)
+                self.db.add_perceptual_hash(phash)
+                self.db.associate_file_with_perceptual_hash(file_hash, phash)
+                self.db.execute(
+                    "DELETE FROM phashed_file_queue WHERE file_hash = :f AND phash = :p",
+                    {"f": file_hash, "p": phash},
+                )
+                if i % self.TREE_COMMIT_BATCH == 0:
+                    self.db.commit()
+                pbar.update(1)
+                if self.update_progress_callback:
+                    self.update_progress_callback(
+                        BuildingSearchTreeProgress(complete=pbar.n, total=pbar.total)
+                    )
+            if self.update_progress_callback:
+                self.update_progress_callback(
+                    BuildingSearchTreeProgress(complete=len(rows), total=len(rows))
+                )
+
+    # -- stage 3: maintenance ---------------------------------------------
+
+    def run_maintenance(self) -> None:
+        tree = vptree.VpTreeManager(self.db)
+        search_threshold = vptree.fix_vpdq_similarity(self.threshold)
+        assert search_threshold > 0 and isinstance(search_threshold, int)
+        if tree.maintenance_due(search_threshold):
+            print("[blue] Running search tree maintenance...")
+            tree.maintain_tree()
+
+    # -- stage 4: search ---------------------------------------------------
+
+    def mark_videos_as_duplicates(self, video1_hash: str, video2_hash: str) -> None:
+        self.client.client.set_file_relationships(
+            [
+                {
+                    "hash_a": video1_hash,
+                    "hash_b": video2_hash,
+                    "relationship": int(hydrus_api.DuplicateStatus.POTENTIAL_DUPLICATES),
+                    "do_default_content_merge": True,
+                }
+            ]
+        )
+
+    def _pick_search_backend(self, num_files: int) -> str:
+        if self.search_backend in ("tree", "tpu"):
+            return self.search_backend
+        try:
+            import jax  # noqa: F401
+
+            return "tpu" if num_files >= self.TPU_ENGINE_MIN_BATCH else "tree"
+        except ImportError:
+            return "tree"
+
+    def find_potential_duplicates(self) -> int:
+        search_threshold = vptree.fix_vpdq_similarity(self.threshold)
+        assert search_threshold > 0 and isinstance(search_threshold, int)
+        files = [
+            row[0]
+            for row in self.db.execute(
+                "SELECT hash_id FROM shape_search_cache WHERE searched_distance IS NULL"
+                " OR searched_distance < :t",
+                {"t": search_threshold},
+            ).fetchall()
+        ]
+        backend = self._pick_search_backend(len(files))
+        log.info("searching %d files with the %s backend", len(files), backend)
+        if backend == "tpu":
+            return self._find_potential_duplicates_tpu(files, search_threshold)
+        return self._find_potential_duplicates_tree(files, search_threshold)
+
+    def _find_potential_duplicates_tree(self, files: list[int], search_threshold: int) -> int:
+        """Reference semantics: per-file VP-tree search (dedup.py:445-502)."""
+        tree = vptree.VpTreeManager(self.db)
+        num_similar_pairs = 0
+        with tqdm(
+            dynamic_ncols=True,
+            total=len(files),
+            desc="Finding potential duplicates",
+            unit="file",
+            colour="BLUE",
+        ) as pbar:
+            for i, hash_id in enumerate(files, start=1):
+                if self.update_progress_callback:
+                    self.update_progress_callback(
+                        SearchingForDuplicatesProgress(complete=pbar.n, total=pbar.total)
+                    )
+                if self.should_skip_step_fn and self.should_skip_step_fn():
+                    return num_similar_pairs // 2
+                result = tree.search_file(hash_id, max_hamming_distance=search_threshold)
+                file_hash_a = self.db.get_file_hash(hash_id)
+                for similar_hash_id, _distance in result:
+                    if hash_id != similar_hash_id:
+                        file_hash_b = self.db.get_file_hash(similar_hash_id)
+                        log.info('Similar files found: "%s" and "%s"', file_hash_a, file_hash_b)
+                        self.mark_videos_as_duplicates(file_hash_a, file_hash_b)
+                        num_similar_pairs += 1
+                self.db.execute(
+                    "UPDATE shape_search_cache SET searched_distance = ? WHERE hash_id = ?",
+                    (search_threshold, hash_id),
+                )
+                if i % self.SEARCH_COMMIT_BATCH == 0:
+                    self.db.commit()
+                pbar.update(1)
+                if self.update_progress_callback:
+                    self.update_progress_callback(
+                        SearchingForDuplicatesProgress(complete=pbar.n, total=pbar.total)
+                    )
+        # pairs between two unsearched files are found from both directions
+        return num_similar_pairs // 2
+
+    def _find_potential_duplicates_tpu(self, files: list[int], search_threshold: int) -> int:
+        """Exact all-pairs search on TPU with identical cache + count
+        semantics: each unsearched file is compared against the whole
+        corpus; directional double-counts are halved like the reference."""
+        from .parallel.engine import TpuSearchEngine
+
+        if not files:
+            return 0
+        min_sim = 101 - search_threshold  # distance <= t  <=>  int sim >= 101 - t
+
+        # corpus: every mapped file and its phash
+        corpus = self.db.execute(
+            "SELECT m.hash_id, p.phash FROM shape_perceptual_hash_map m"
+            " JOIN shape_perceptual_hashes p ON p.phash_id = m.phash_id"
+        ).fetchall()
+        all_ids = [r[0] for r in corpus]
+        all_phashes = [bytes(r[1]) for r in corpus]
+        id_to_pos = {h: i for i, h in enumerate(all_ids)}
+        row_ids = [h for h in files if h in id_to_pos]
+        row_phashes = [all_phashes[id_to_pos[h]] for h in row_ids]
+
+        if self.update_progress_callback:
+            self.update_progress_callback(
+                SearchingForDuplicatesProgress(complete=0, total=len(row_ids))
+            )
+        engine = TpuSearchEngine()
+        hits = engine.find_pairs(row_phashes, all_phashes, min_sim)
+
+        # ``hits`` enumerates exactly the same (searcher, found) events as the
+        # reference's per-file tree loop: a row-vs-row pair appears in both
+        # directions, a row-vs-already-searched pair once. Count them all and
+        # halve at the end (reference dedup.py:502); POST each unordered pair
+        # to Hydrus only once (the reference POSTs both directions — Hydrus
+        # dedupes, so the end state is identical).
+        num_similar_pairs = 0
+        marked: set[tuple[int, int]] = set()
+        with tqdm(
+            dynamic_ncols=True,
+            total=len(hits),
+            desc="Marking potential duplicates",
+            unit="pair",
+            colour="BLUE",
+        ) as pbar:
+            for r, c, _sim in hits:
+                hash_a = row_ids[r]
+                hash_b = all_ids[c]
+                if hash_a == hash_b:
+                    pbar.update(1)
+                    continue
+                num_similar_pairs += 1
+                key = (min(hash_a, hash_b), max(hash_a, hash_b))
+                if key not in marked:
+                    marked.add(key)
+                    self.mark_videos_as_duplicates(
+                        self.db.get_file_hash(hash_a), self.db.get_file_hash(hash_b)
+                    )
+                pbar.update(1)
+        for i, hash_id in enumerate(files, start=1):
+            self.db.execute(
+                "UPDATE shape_search_cache SET searched_distance = ? WHERE hash_id = ?",
+                (search_threshold, hash_id),
+            )
+            if i % self.SEARCH_COMMIT_BATCH == 0:
+                self.db.commit()
+        if self.update_progress_callback:
+            self.update_progress_callback(
+                SearchingForDuplicatesProgress(complete=len(row_ids), total=len(row_ids))
+            )
+        return num_similar_pairs // 2

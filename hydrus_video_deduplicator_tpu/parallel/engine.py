@@ -1,0 +1,221 @@
+"""TPU all-pairs VPDQ similarity search engine.
+
+This replaces both the reference's per-pair native ``matchHash`` and its
+VP-tree search (SURVEY.md §7 step 5) with exact, corpus-scale similarity:
+
+1. Videos are bucketed by frame count (padded to the next power of two), so
+   every device computation has static shapes.
+2. Frame hashes live on device bit-packed as [V, P, 8] uint32; each tile
+   unpacks to {-1,+1} int8 and computes all-pairs frame Hamming distances
+   via one int8 MXU matmul (dot = 256 - 2d).
+3. A tile's frame-distance block reduces to integer video-level similarity
+   (min of the two directional match fractions — the exact semantics of
+   native matchHash, including empty-hash and padding handling).
+4. Tiles stream over (row-bucket x col-bucket) pairs; hits come back to the
+   host as small int32 matrices and are turned into (row, col, sim) pairs.
+
+Brute force is strictly more correct than the VP-tree (the tree assumes a
+metric; VPDQ similarity is not one), so pair sets can only gain pairs the
+tree would miss; tests compare both paths and flag differences.
+
+Multi-chip: rows are sharded over a 1-D mesh with shard_map; every device
+computes its row-slab against the (replicated) column block. Wall-clock
+scales ~linearly in devices; no collectives beyond the initial broadcast.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import similarity as ops_sim
+from ..vpdq import pdq_math as pm
+
+BYTES = pm.BYTES_PER_HASH
+LANES = BYTES // 4
+TOL = pm.DEFAULT_DISTANCE_TOLERANCE
+
+#: Row/column video tile sizes (videos per device step). Chosen so the
+#: frame-pair block (TILE_ROWS*P) x (TILE_COLS*P) stays comfortably in HBM
+#: for the largest buckets.
+TILE_ROWS = 128
+TILE_COLS = 1024
+#: Frame-count buckets: videos are padded up to the next power of two, to a
+#: cap; longer videos are truncated-with-remainder into the cap bucket
+#: (extremely rare: cap frames = cap seconds of video sampled at 1 fps).
+MAX_BUCKET = 1024
+
+
+def _bucket_size(n_frames: int) -> int:
+    p = 1
+    while p < n_frames:
+        p <<= 1
+    return min(p, MAX_BUCKET)
+
+
+@dataclass
+class _Bucket:
+    pad: int
+    video_idx: list[int] = field(default_factory=list)  # corpus indices
+    frames: list[np.ndarray] = field(default_factory=list)  # [pad, 8] u32 each
+    counts: list[int] = field(default_factory=list)
+
+
+class CorpusIndex:
+    """Host-side index: corpus of packed video hashes, bucketed by length."""
+
+    def __init__(self, phashes: list[bytes]):
+        self.n = len(phashes)
+        self.buckets: dict[int, _Bucket] = {}
+        for i, blob in enumerate(phashes):
+            n_frames = len(blob) // BYTES
+            if n_frames == 0:
+                continue  # empty hashes match nothing (incl. themselves)
+            pad = _bucket_size(n_frames)
+            kept = min(n_frames, pad)  # cap-bucket truncation (see module doc)
+            packed = np.zeros((pad, LANES), dtype=np.uint32)
+            packed[:kept] = ops_sim.blobs_to_packed(blob[: kept * BYTES])
+            bucket = self.buckets.setdefault(pad, _Bucket(pad))
+            bucket.video_idx.append(i)
+            bucket.frames.append(packed)
+            bucket.counts.append(kept)
+
+    def bucket_arrays(self, pad: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        b = self.buckets[pad]
+        return (
+            np.asarray(b.video_idx, dtype=np.int64),
+            np.stack(b.frames).astype(np.uint32),
+            np.asarray(b.counts, dtype=np.int32),
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("pa", "pb"))
+def _tile_similarity(
+    rows_packed: jnp.ndarray,  # [TR, pa, 8] uint32
+    rows_counts: jnp.ndarray,  # [TR] int32
+    cols_packed: jnp.ndarray,  # [TC, pb, 8] uint32
+    cols_counts: jnp.ndarray,  # [TC] int32
+    pa: int,
+    pb: int,
+) -> jnp.ndarray:
+    """Integer video-level similarity [TR, TC] for one tile pair."""
+    tr = rows_packed.shape[0]
+    tc = cols_packed.shape[0]
+    a = ops_sim.unpack_pm1(rows_packed.reshape(tr * pa, LANES))  # [TR*pa, 256]
+    b = ops_sim.unpack_pm1(cols_packed.reshape(tc * pb, LANES))
+    ham = ops_sim.hamming_tile(a, b).reshape(tr, pa, tc, pb)
+
+    va = (jnp.arange(pa)[None, :] < rows_counts[:, None])  # [TR, pa]
+    vb = (jnp.arange(pb)[None, :] < cols_counts[:, None])  # [TC, pb]
+    matched = (ham <= TOL) & va[:, :, None, None] & vb[None, None, :, :]
+
+    # matched: [TR, pa, TC, pb]
+    a_hit = matched.any(axis=3)  # [TR, pa, TC] — row frame matched anything
+    b_hit = matched.any(axis=1)  # [TR, TC, pb] — col frame matched anything
+    ma = a_hit.sum(axis=1, dtype=jnp.int32)  # [TR, TC]
+    mb = b_hit.sum(axis=2, dtype=jnp.int32)  # [TR, TC]
+    fa = jnp.maximum(rows_counts, 1)[:, None]
+    fb = jnp.maximum(cols_counts, 1)[None, :]
+    sim = jnp.minimum((100 * ma) // fa, (100 * mb) // fb)
+    nonempty = (rows_counts[:, None] > 0) & (cols_counts[None, :] > 0)
+    return jnp.where(nonempty, sim, 0)
+
+
+def _pad_rows(arr: np.ndarray, to: int) -> np.ndarray:
+    if arr.shape[0] == to:
+        return arr
+    pad = [(0, to - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad)
+
+
+class TpuSearchEngine:
+    """Exact all-pairs similarity search over packed VPDQ hashes."""
+
+    def __init__(self, tile_rows: int = TILE_ROWS, tile_cols: int = TILE_COLS):
+        self.tile_rows = tile_rows
+        self.tile_cols = tile_cols
+
+    def find_pairs(
+        self,
+        row_phashes: list[bytes],
+        all_phashes: list[bytes],
+        min_int_similarity: int,
+    ) -> list[tuple[int, int, int]]:
+        """All (row_index, all_index, int_similarity) with similarity >=
+        min_int_similarity. Row videos are compared against every corpus
+        video (including each other); a row video is never paired with its
+        own corpus slot (callers dedupe identical files at a higher level).
+        """
+        rows = CorpusIndex(row_phashes)
+        cols = CorpusIndex(all_phashes)
+        out: list[tuple[int, int, int]] = []
+        for pa, rb in rows.buckets.items():
+            r_idx, r_frames, r_counts = rows.bucket_arrays(pa)
+            for pb, cb in cols.buckets.items():
+                c_idx, c_frames, c_counts = cols.bucket_arrays(pb)
+                out.extend(
+                    self._bucket_pair(
+                        pa, r_idx, r_frames, r_counts,
+                        pb, c_idx, c_frames, c_counts,
+                        min_int_similarity,
+                    )
+                )
+        return out
+
+    def _bucket_pair(
+        self, pa, r_idx, r_frames, r_counts, pb, c_idx, c_frames, c_counts, min_sim
+    ):
+        out = []
+        tr, tc = self.tile_rows, self.tile_cols
+        for i0 in range(0, len(r_idx), tr):
+            ri = slice(i0, min(i0 + tr, len(r_idx)))
+            rf = _pad_rows(r_frames[ri], tr)
+            rc = _pad_rows(r_counts[ri], tr)
+            for j0 in range(0, len(c_idx), tc):
+                cj = slice(j0, min(j0 + tc, len(c_idx)))
+                cf = _pad_rows(c_frames[cj], tc)
+                cc = _pad_rows(c_counts[cj], tc)
+                sim = np.asarray(_tile_similarity(rf, rc, cf, cc, pa, pb))
+                hits = np.argwhere(sim >= min_sim)
+                for a, b in hits:
+                    if a < (ri.stop - ri.start) and b < (cj.stop - cj.start):
+                        out.append((int(r_idx[i0 + a]), int(c_idx[j0 + b]), int(sim[a, b])))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Sharded (multi-chip) tile computation
+# ---------------------------------------------------------------------------
+
+
+def sharded_tile_similarity(mesh, rows_packed, rows_counts, cols_packed, cols_counts, pa, pb):
+    """Row-sharded tile similarity over a 1-D mesh.
+
+    rows_* are sharded on the leading axis (device slabs), cols_* are
+    replicated; each device computes its slab of the similarity matrix.
+    The result is sharded the same way as the rows.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+
+    def slab(rp, rc, cp, cc):
+        return _tile_similarity(rp, rc, cp, cc, pa, pb)
+
+    fn = shard_map(
+        slab,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P()),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    rows_packed = jax.device_put(rows_packed, NamedSharding(mesh, P(axis)))
+    rows_counts = jax.device_put(rows_counts, NamedSharding(mesh, P(axis)))
+    cols_packed = jax.device_put(cols_packed, NamedSharding(mesh, P()))
+    cols_counts = jax.device_put(cols_counts, NamedSharding(mesh, P()))
+    return fn(rows_packed, rows_counts, cols_packed, cols_counts)

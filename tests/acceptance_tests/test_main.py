@@ -1,0 +1,109 @@
+"""Full-pipeline acceptance tests against the fake Hydrus server.
+
+The reference's equivalent replays vcr cassettes through entrypoint.main()
+and asserts the returned pair count equals the server's potentials count
+(reference tests/acceptance_tests/test_main_vcr.py:62-87). Here the fake
+server is live and stateful, so we additionally verify incremental re-runs
+and both search backends produce the same pairs.
+"""
+
+from __future__ import annotations
+
+import uuid
+from pathlib import Path
+
+import pytest
+
+from hydrus_video_deduplicator_tpu.entrypoint import main
+
+from ..fake_hydrus import DEFAULT_ACCESS_KEY, FakeHydrus, corpus_file_store
+
+
+@pytest.fixture()
+def fake_server():
+    store = corpus_file_store()
+    assert len(store) >= 10
+    server = FakeHydrus(store)
+    server.start()
+    yield server
+    server.stop()
+
+
+def _run_main(server, db_dir, **kwargs):
+    return main(
+        api_key=DEFAULT_ACCESS_KEY,
+        api_url=server.url,
+        dedup_database_dir=Path(db_dir),
+        **kwargs,
+    )
+
+
+# The corpus has two similarity groups: scene_a (4 encodings) and scene_b
+# (3 encodings) -> C(4,2) + C(3,2) = 6 + 3 = 9 similar pairs at the default
+# 50.0 threshold (strange/ videos match nothing).
+EXPECTED_PAIRS = 9
+
+
+@pytest.mark.parametrize("backend", ["tree", "tpu"])
+def test_main_end_to_end(fake_server, tmp_path, backend):
+    db_dir = tmp_path / uuid.uuid4().hex
+    pairs = _run_main(fake_server, db_dir, search_backend=backend)
+    assert pairs == EXPECTED_PAIRS
+    assert len(fake_server.relationships) == EXPECTED_PAIRS
+
+
+def test_rerun_is_incremental(fake_server, tmp_path):
+    db_dir = tmp_path / uuid.uuid4().hex
+    pairs = _run_main(fake_server, db_dir)
+    assert pairs == EXPECTED_PAIRS
+    seen_before = len(fake_server.requests_seen)
+    # second run: nothing new to hash, nothing new to search
+    pairs2 = _run_main(fake_server, db_dir)
+    assert pairs2 == 0
+    file_fetches = [
+        p for p in fake_server.requests_seen[seen_before:] if p == "/get_files/file"
+    ]
+    assert file_fetches == []  # no file was re-downloaded
+
+
+def test_skip_hashing(fake_server, tmp_path):
+    db_dir = tmp_path / uuid.uuid4().hex
+    pairs = _run_main(fake_server, db_dir, skip_hashing=True)
+    assert pairs == 0  # nothing hashed, nothing to search
+    pairs = _run_main(fake_server, db_dir)
+    assert pairs == EXPECTED_PAIRS
+
+
+def test_backends_agree_on_pair_set(fake_server, tmp_path):
+    db1 = tmp_path / uuid.uuid4().hex
+    _run_main(fake_server, db1, search_backend="tree")
+    tree_pairs = set(fake_server.relationships)
+
+    server2 = FakeHydrus(corpus_file_store())
+    server2.start()
+    try:
+        db2 = tmp_path / uuid.uuid4().hex
+        main(
+            api_key=DEFAULT_ACCESS_KEY,
+            api_url=server2.url,
+            dedup_database_dir=Path(db2),
+            search_backend="tpu",
+        )
+        tpu_pairs = set(server2.relationships)
+    finally:
+        server2.stop()
+    assert tree_pairs == tpu_pairs
+
+
+def test_bad_api_key(fake_server, tmp_path):
+    with pytest.raises(SystemExit):
+        main(
+            api_key="0" * 64,
+            api_url=fake_server.url,
+            dedup_database_dir=tmp_path / uuid.uuid4().hex,
+        )
+
+
+def test_threshold_validation(fake_server, tmp_path):
+    with pytest.raises(SystemExit):
+        _run_main(fake_server, tmp_path / uuid.uuid4().hex, threshold=101.0)

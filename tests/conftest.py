@@ -14,7 +14,9 @@ import os
 
 _platform = os.environ.get("HVD_TEST_PLATFORM", "cpu")
 if _platform == "cpu":
+    # note: this jax build (axon plugin) ignores JAX_PLATFORMS; set both
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (

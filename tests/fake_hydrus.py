@@ -1,0 +1,205 @@
+"""In-process fake Hydrus Client API server for acceptance tests.
+
+The reference replays recorded HTTP cassettes (vcrpy) as its fake backend
+(reference tests/acceptance_tests/test_main_vcr.py); this is the live
+equivalent: a threaded HTTP server implementing the endpoint subset the
+dedupe pipeline uses, backed by an in-memory file store. Strictly better
+for tests — it validates request structure and is stateful (relationships
+accumulate like a real client).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+DEFAULT_ACCESS_KEY = "f" * 64
+FILE_SERVICE_KEY = "0123456789abcdef" * 4
+
+ALL_PERMISSIONS = list(range(13))
+
+
+class FakeHydrus:
+    """files: {sha256_hex: bytes}. Start with .start(), point the client at
+    .url, inspect .relationships / .page_additions afterwards."""
+
+    def __init__(self, files: dict[str, bytes], access_key: str = DEFAULT_ACCESS_KEY):
+        self.files = dict(files)
+        self.access_key = access_key
+        self.relationships: set[tuple[str, str]] = set()  # unordered pairs
+        self.relationship_posts: list[dict] = []
+        self.page_additions: list[tuple[str, str]] = []  # (page_key, hash)
+        self.requests_seen: list[str] = []
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle --------------------------------------------------------
+
+    def start(self) -> str:
+        fake = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                pass
+
+            def _check_key(self) -> bool:
+                if self.headers.get("Hydrus-Client-API-Access-Key") != fake.access_key:
+                    self._send(401, {"error": "bad access key"})
+                    return False
+                return True
+
+            def _send(self, code: int, payload, raw: bytes | None = None):
+                self.send_response(code)
+                if raw is not None:
+                    self.send_header("Content-Type", "application/octet-stream")
+                    self.send_header("Content-Length", str(len(raw)))
+                    self.end_headers()
+                    self.wfile.write(raw)
+                else:
+                    body = json.dumps(payload).encode()
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+
+            def do_GET(self):
+                parsed = urlparse(self.path)
+                path = parsed.path
+                params = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+                fake.requests_seen.append(path)
+                if path == "/api_version":
+                    return self._send(200, {"version": 70, "hydrus_version": 600})
+                if not self._check_key():
+                    return
+                if path == "/verify_access_key":
+                    return self._send(
+                        200,
+                        {
+                            "name": "fake",
+                            "permits_everything": True,
+                            "basic_permissions": ALL_PERMISSIONS,
+                            "human_description": "fake key",
+                        },
+                    )
+                if path == "/get_services":
+                    service = {
+                        "name": "all local files",
+                        "service_key": FILE_SERVICE_KEY,
+                        "type": 15,
+                        "type_pretty": "virtual combined local file service",
+                    }
+                    return self._send(
+                        200,
+                        {
+                            "all_local_files": [service],
+                            "services": {FILE_SERVICE_KEY: service},
+                        },
+                    )
+                if path == "/get_files/search_files":
+                    json.loads(params["tags"])  # must be a JSON array
+                    hashes = sorted(fake.files, key=lambda h: len(fake.files[h]))
+                    return self._send(200, {"hashes": hashes})
+                if path == "/get_files/file":
+                    h = params.get("hash")
+                    if h not in fake.files:
+                        return self._send(404, {"error": "no such file"})
+                    return self._send(200, None, raw=fake.files[h])
+                if path == "/get_files/file_metadata":
+                    hashes = json.loads(params.get("hashes", "[]"))
+                    return self._send(
+                        200,
+                        {
+                            "metadata": [
+                                {"hash": h, "is_deleted": h not in fake.files}
+                                for h in hashes
+                            ]
+                        },
+                    )
+                if path == "/manage_file_relationships/get_potentials_count":
+                    return self._send(
+                        200, {"potential_duplicates_count": len(fake.relationships)}
+                    )
+                if path == "/manage_pages/get_pages":
+                    return self._send(
+                        200,
+                        {
+                            "pages": {
+                                "name": "top pages notebook",
+                                "page_key": "00" * 32,
+                                "page_type": 10,
+                                "pages": [
+                                    {
+                                        "name": "failed",
+                                        "page_key": "11" * 32,
+                                        "page_type": 6,
+                                    }
+                                ],
+                            }
+                        },
+                    )
+                return self._send(404, {"error": f"unhandled GET {path}"})
+
+            def do_POST(self):
+                parsed = urlparse(self.path)
+                path = parsed.path
+                fake.requests_seen.append(path)
+                if not self._check_key():
+                    return
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                if path == "/manage_file_relationships/set_file_relationships":
+                    for rel in payload["relationships"]:
+                        fake.relationship_posts.append(rel)
+                        if rel.get("relationship") == 0:
+                            a, b = rel["hash_a"], rel["hash_b"]
+                            fake.relationships.add((min(a, b), max(a, b)))
+                    return self._send(200, {})
+                if path == "/manage_file_relationships/remove_potentials":
+                    hashes = set(payload.get("hashes", []))
+                    fake.relationships = {
+                        (a, b)
+                        for a, b in fake.relationships
+                        if a not in hashes and b not in hashes
+                    }
+                    return self._send(200, {})
+                if path == "/manage_pages/add_files":
+                    for h in payload.get("hashes", []):
+                        fake.page_additions.append((payload["page_key"], h))
+                    return self._send(200, {})
+                return self._send(404, {"error": f"unhandled POST {path}"})
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self.url
+
+    @property
+    def url(self) -> str:
+        host, port = self._httpd.server_address
+        return f"http://{host}:{port}"
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._thread.join(timeout=5)
+
+
+def sha256_hex(data: bytes) -> str:
+    return hashlib.sha256(data).hexdigest()
+
+
+def corpus_file_store() -> dict[str, bytes]:
+    """The committed test corpus as a {sha256: bytes} Hydrus file store."""
+    from pathlib import Path
+
+    videos = Path(__file__).parent / "corpus" / "videos"
+    store = {}
+    for vid in sorted(videos.rglob("*")):
+        if vid.is_file():
+            data = vid.read_bytes()
+            store[sha256_hex(data)] = data
+    return store
