@@ -1,0 +1,19 @@
+# TPU-native hydrus video deduplicator.
+# CPU image by default (native C++ hasher); build with
+#   --build-arg EXTRAS=tpu  on a TPU VM for the device compute path.
+
+FROM python:3.12-slim AS base
+
+ARG EXTRAS=""
+
+RUN apt-get update \
+    && apt-get install -y --no-install-recommends g++ make libgl1 libglib2.0-0 \
+    && rm -rf /var/lib/apt/lists/*
+
+WORKDIR /app
+COPY . /app
+
+RUN pip install --no-cache-dir ".${EXTRAS:+[$EXTRAS]}" \
+    && make -C hydrus_video_deduplicator_tpu/native
+
+ENTRYPOINT ["/app/docker-entrypoint.sh"]

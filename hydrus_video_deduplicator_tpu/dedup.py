@@ -208,6 +208,7 @@ class HydrusVideoDeduplicator:
         update_progress_callback: "UpdateDedupeProgressCallback | None" = None,
         should_skip_step_fn: "Callable[[], bool] | None" = None,
         search_backend: str = "auto",  # "auto" | "tree" | "tpu"
+        hash_backend: str = "native",  # "native" | "tpu"
     ):
         self.db = db
         self.client = client
@@ -221,6 +222,7 @@ class HydrusVideoDeduplicator:
             self.update_progress_callback(NoneProgress())
         self.should_skip_step_fn = should_skip_step_fn
         self.search_backend = search_backend
+        self.hash_backend = hash_backend
 
     # -- stage 0: discovery ------------------------------------------------
 
@@ -335,6 +337,13 @@ class HydrusVideoDeduplicator:
     # -- stage 1: hashing --------------------------------------------------
 
     def add_perceptual_hashes_to_db(self, video_hashes: "Sequence[str]") -> PerceptualHashingStats:
+        if self.hash_backend == "tpu":
+            return self._add_perceptual_hashes_to_db_tpu(video_hashes)
+        return self._add_perceptual_hashes_to_db_native(video_hashes)
+
+    def _add_perceptual_hashes_to_db_native(
+        self, video_hashes: "Sequence[str]"
+    ) -> PerceptualHashingStats:
         stats = PerceptualHashingStats()
         try:
             with tqdm(
@@ -383,6 +392,72 @@ class HydrusVideoDeduplicator:
         except KeyboardInterrupt:
             raise CancelledPerceptualHashException(stats)
         gc.collect()
+        return stats
+
+    #: files fetched+hashed per device round in the TPU hashing path
+    TPU_HASH_CHUNK = 16
+
+    def _add_perceptual_hashes_to_db_tpu(
+        self, video_hashes: "Sequence[str]"
+    ) -> PerceptualHashingStats:
+        """Device-batched hashing: fetch a chunk of files, decode in a thread
+        pool, hash all their frames in shared device batches, then commit.
+        Same failure/stat/commit semantics as the native path; CTRL+C
+        checkpoints at chunk boundaries."""
+        from .dedup_util import batched
+        from .models.vpdq import TpuVideoHasher
+
+        stats = PerceptualHashingStats()
+        hasher = TpuVideoHasher()
+        try:
+            with tqdm(
+                total=len(video_hashes),
+                desc="Perceptually hashing files (TPU)",
+                dynamic_ncols=True,
+                unit="file",
+                colour="BLUE",
+            ) as pbar:
+                for chunk in batched(video_hashes, self.TPU_HASH_CHUNK):
+                    if self.should_skip_step_fn and self.should_skip_step_fn():
+                        return stats
+                    if self.update_progress_callback:
+                        self.update_progress_callback(
+                            HashingProgress(complete=pbar.n, total=pbar.total)
+                        )
+                    # fetch (per-file API failure isolation)
+                    fetched: list[tuple[str, bytes]] = []
+                    for file_hash in chunk:
+                        try:
+                            response = self.client.client.get_file(hash_=file_hash)
+                            fetched.append((file_hash, response.content))
+                        except hydrus_api.HydrusAPIException as exc:
+                            stats.failed_from_api_errors_count += 1
+                            print("[red] Hydrus API error during perceptual hashing:")
+                            print(f"{exc}")
+                            time.sleep(FileHasher.API_ERROR_BACKOFF_SECONDS)
+                    # decode + hash on device
+                    for result in hasher.hash_videos(fetched):
+                        if result.error is not None:
+                            stats.failed_from_phash_count += 1
+                            print("[red] Failed to perceptually hash a file.")
+                            print(f"Failed file SHA256 hash: {result.key}")
+                            print(f"{result.error}")
+                            if self.page_logger:
+                                self.page_logger.add_failed_video(result.key)
+                        else:
+                            self.db.add_to_phashed_files_queue(
+                                result.key, result.phash.bytes
+                            )
+                            stats.success_hash_count += 1
+                    self.db.commit()
+                    gc.collect()
+                    pbar.update(len(chunk))
+                    if self.update_progress_callback:
+                        self.update_progress_callback(
+                            HashingProgress(complete=pbar.n, total=pbar.total)
+                        )
+        except KeyboardInterrupt:
+            raise CancelledPerceptualHashException(stats)
         return stats
 
     # -- stage 2: queue -> tree -------------------------------------------

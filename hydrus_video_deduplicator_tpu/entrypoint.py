@@ -58,6 +58,7 @@ def main(
     verbose: bool = False,
     debug: bool = False,
     search_backend: str = "auto",
+    hash_backend: str = "native",
 ) -> int:
     """Run the deduplicator; returns the number of similar pairs found."""
     if api_url is None:
@@ -173,6 +174,7 @@ def main(
         failed_page_name=failed_page_name,
         custom_query=query,
         search_backend=search_backend,
+        hash_backend=hash_backend,
     )
     if debug:
         deduper.hydlog.setLevel(logging.DEBUG)
@@ -251,6 +253,12 @@ def _build_cli():
         help="Duplicate-search engine: VP-tree, exact TPU all-pairs, or auto.",
     )
     @click.option(
+        "--hash-backend",
+        default="native",
+        type=click.Choice(["native", "tpu"]),
+        help="Perceptual-hash engine: threaded native CPU or device-batched TPU.",
+    )
+    @click.option(
         "--gui/--no-gui",
         default=bool(config.HVD_GUI),
         help="Launch the GUI. This ignores all other CLI arguments.",
@@ -291,6 +299,11 @@ def run_main(gui: bool = False) -> None:
     finally:
         if config.is_windows_exe():
             input("Press ENTER to exit...")
+
+
+def run_main_cli() -> None:
+    """console_scripts entry (pyproject [project.scripts])."""
+    run_main(gui=False)
 
 
 if __name__ == "__main__":

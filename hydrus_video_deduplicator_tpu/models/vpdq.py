@@ -1,0 +1,193 @@
+"""Video-level TPU hashing: decode-parallel, device-batched VPDQ.
+
+The reference hashes one video at a time through a CPU thread pool
+(vpdqpy.py:104-119). On TPU the economics invert: the PDQ kernel wants
+large batches, and decode (CPU) must run ahead of the device. This module
+provides the TPU hashing pipeline:
+
+    files -> [decode pool: N workers] -> frame batches [B, 3, 512, 512]
+          -> fused Pallas hash kernel -> (hash words, quality)
+          -> regroup by video, quality-filter, pack -> VpdqHash per file
+
+Frames from many videos share device batches (ragged videos are flattened
+into a frame stream with video ids), so the MXU/VPU stays full regardless
+of video length. Failure semantics match the reference: a video that fails
+to decode yields a typed failure and never poisons the batch.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from collections.abc import Callable, Iterable, Iterator
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..vpdq import VpdqHash
+from ..vpdq import pdq_math as pm
+from ..decode import extract_frames
+
+log = logging.getLogger("vpdq-tpu")
+
+#: device batch size (frames); the CPU fallback uses a small batch because
+#: XLA-CPU compile time grows with buffer sizes
+BATCH = 128
+BATCH_CPU = 16
+#: decode worker threads feeding the device
+DECODE_WORKERS = 4
+#: bounded buffer of decoded frames (backpressure, like the reference's
+#: bounded native queue — vpdqpy.py:114-118)
+FRAME_BUFFER_FRAMES = 512
+
+
+@dataclass
+class VideoResult:
+    key: object
+    phash: VpdqHash | None
+    error: Exception | None = None
+
+
+def _hash_batch_fn():
+    """Pick the device hash function (pallas on TPU, XLA elsewhere)."""
+    import jax
+
+    if jax.devices()[0].platform == "tpu":
+        from ..ops.pdq_pallas import pdq_hash_batch_pallas_jit
+
+        return pdq_hash_batch_pallas_jit
+    from .pdq import pdq_hash_batch_jit
+
+    return lambda planar: pdq_hash_batch_jit(planar.transpose(0, 2, 3, 1))
+
+
+class TpuVideoHasher:
+    """Batched hashing of many videos on the device.
+
+    Usage: ``results = TpuVideoHasher().hash_videos(items)`` where items
+    yields (key, video_bytes_or_path); results preserve input order.
+    """
+
+    def __init__(
+        self,
+        batch_size: int | None = None,
+        decode_workers: int = DECODE_WORKERS,
+        quality_min: int = pm.QUALITY_MIN_KEEP,
+    ):
+        if batch_size is None:
+            import jax
+
+            batch_size = BATCH if jax.devices()[0].platform == "tpu" else BATCH_CPU
+        self.batch_size = batch_size
+        self.decode_workers = decode_workers
+        self.quality_min = quality_min
+        self._hash_batch = _hash_batch_fn()
+
+    # -- decode stage -----------------------------------------------------
+
+    def _decode_worker(self, jobs: "queue.Queue", out: "queue.Queue") -> None:
+        while True:
+            item = jobs.get()
+            if item is None:
+                return
+            idx, key, video = item
+            try:
+                frames = [
+                    np.ascontiguousarray(f.transpose(2, 0, 1))  # planar
+                    for f in extract_frames(video)
+                ]
+                out.put((idx, key, frames, None))
+            except Exception as exc:  # typed failure, never poisons the batch
+                out.put((idx, key, None, exc))
+
+    # -- main pipeline -----------------------------------------------------
+
+    def hash_videos(
+        self,
+        items: Iterable[tuple[object, bytes | str]],
+        progress: Callable[[int, int], None] | None = None,
+    ) -> list[VideoResult]:
+        items = list(items)
+        results: dict[int, VideoResult] = {}
+
+        jobs: "queue.Queue" = queue.Queue()
+        decoded: "queue.Queue" = queue.Queue(
+            maxsize=max(2, FRAME_BUFFER_FRAMES // max(self.batch_size, 1))
+        )
+        for idx, (key, video) in enumerate(items):
+            jobs.put((idx, key, video))
+        workers = []
+        n_workers = min(self.decode_workers, max(1, len(items)))
+        for _ in range(n_workers):
+            jobs.put(None)
+            t = threading.Thread(
+                target=self._decode_worker, args=(jobs, decoded), daemon=True
+            )
+            t.start()
+            workers.append(t)
+
+        # accumulate frames across videos into device batches
+        pending_frames: list[np.ndarray] = []  # planar [3,512,512]
+        pending_owner: list[int] = []  # index into items per frame
+        frames_per_video: dict[int, int] = {}
+        hashes_per_video: dict[int, list[tuple[int, bytes]]] = {}
+        done_decoding = 0
+
+        def flush(batch_frames, batch_owner):
+            if not batch_frames:
+                return
+            batch = np.stack(batch_frames)
+            n = batch.shape[0]
+            if n < self.batch_size:  # pad to the compiled shape
+                pad = np.zeros(
+                    (self.batch_size - n,) + batch.shape[1:], dtype=batch.dtype
+                )
+                batch = np.concatenate([batch, pad])
+            words, qual = self._hash_batch(batch)
+            words = np.asarray(words)[:n]
+            qual = np.asarray(qual)[:n]
+            from .pdq import words_to_blobs
+
+            blobs = words_to_blobs(words)
+            for i in range(n):
+                owner = batch_owner[i]
+                order = len(hashes_per_video.setdefault(owner, []))
+                if qual[i] >= self.quality_min:
+                    hashes_per_video[owner].append((order, blobs[i]))
+                else:
+                    hashes_per_video[owner].append((order, b""))
+
+        while done_decoding < len(items):
+            idx, key, frames, exc = decoded.get()
+            done_decoding += 1
+            if exc is not None:
+                results[idx] = VideoResult(key, None, exc)
+            else:
+                frames_per_video[idx] = len(frames)
+                hashes_per_video.setdefault(idx, [])
+                for f in frames:
+                    pending_frames.append(f)
+                    pending_owner.append(idx)
+                while len(pending_frames) >= self.batch_size:
+                    flush(
+                        pending_frames[: self.batch_size],
+                        pending_owner[: self.batch_size],
+                    )
+                    pending_frames = pending_frames[self.batch_size :]
+                    pending_owner = pending_owner[self.batch_size :]
+            if progress:
+                progress(done_decoding, len(items))
+        flush(pending_frames, pending_owner)
+        for t in workers:
+            t.join()
+
+        out: list[VideoResult] = []
+        for idx, (key, _video) in enumerate(items):
+            if idx in results:  # decode failure
+                out.append(results[idx])
+                continue
+            parts = sorted(hashes_per_video.get(idx, []))
+            blob = b"".join(b for _, b in parts)
+            out.append(VideoResult(key, VpdqHash(blob)))
+        return out

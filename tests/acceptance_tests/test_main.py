@@ -52,6 +52,15 @@ def test_main_end_to_end(fake_server, tmp_path, backend):
     assert len(fake_server.relationships) == EXPECTED_PAIRS
 
 
+def test_main_tpu_hash_backend(fake_server, tmp_path):
+    """Device-batched hashing end-to-end: same pairs as the native path."""
+    db_dir = tmp_path / uuid.uuid4().hex
+    pairs = _run_main(
+        fake_server, db_dir, hash_backend="tpu", search_backend="tpu"
+    )
+    assert pairs == EXPECTED_PAIRS
+
+
 def test_rerun_is_incremental(fake_server, tmp_path):
     db_dir = tmp_path / uuid.uuid4().hex
     pairs = _run_main(fake_server, db_dir)
