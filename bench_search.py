@@ -1,0 +1,115 @@
+"""All-pairs similarity search benchmark (the second north-star metric:
+exact 1M-video all-pairs < 60 s on v5e-8 — BASELINE.md).
+
+Measures the TPU engine's tile throughput on synthetic packed hashes and
+extrapolates a full 1M x 1M sweep. Prints one JSON line:
+  {"metric": "allpairs_1m_videos_projected_sec_v5e8", ...}
+Diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import os
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    log(f"device: {jax.devices()[0]}")
+    PAD = 8  # frames per video (1 fps, ~8 s clips)
+    TR, TC = 512, 2048  # videos per tile: (TR*PAD) x (TC*PAD) frame block
+
+    rows_packed = jax.random.bits(jax.random.PRNGKey(0), (TR, PAD, 8), jnp.uint32)
+    cols_packed = jax.random.bits(jax.random.PRNGKey(1), (TC, PAD, 8), jnp.uint32)
+    rows_counts = jnp.full((TR,), PAD, jnp.int32)
+    cols_counts = jnp.full((TC,), PAD, jnp.int32)
+
+    if on_tpu:
+        # fused Pallas engine tile (the production TPU path)
+        import numpy as np_
+
+        from hydrus_video_deduplicator_tpu.ops.similarity_pallas import (
+            similarity_block_pallas,
+            unpack_pm1_host,
+        )
+
+        rows_pm1 = jnp.asarray(unpack_pm1_host(np_.asarray(rows_packed)))
+        cols_pm1 = jnp.asarray(unpack_pm1_host(np_.asarray(cols_packed)))
+        fa = jnp.asarray(np_.full((TR, 1), PAD, np_.int32))
+        fb = jnp.asarray(np_.full((TC, 1), PAD, np_.int32))
+
+        @jax.jit
+        def step(rp, carry):
+            rp = rp.at[0, 0].set((carry % 2 * 2 - 1).astype(jnp.int8))
+            sim = similarity_block_pallas(rp, fa, cols_pm1, fb, PAD, PAD)
+            return carry + jnp.sum(sim)
+
+        bench_input = rows_pm1
+    else:
+        from hydrus_video_deduplicator_tpu.parallel.engine import _tile_similarity
+
+        @jax.jit
+        def step(rp, carry):
+            rp = rp.at[0, 0, 0].set(carry.astype(jnp.uint32))
+            sim = _tile_similarity(rp, rows_counts, cols_packed, cols_counts, PAD, PAD)
+            return carry + jnp.sum(sim)
+
+        bench_input = rows_packed
+
+    carry = jnp.int32(0)
+    t0 = time.time()
+    carry = step(bench_input, carry)
+    int(carry)
+    log(f"compile+first tile: {time.time() - t0:.1f}s")
+
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        carry = step(bench_input, carry)
+    int(carry)
+    dt = (time.time() - t0) / iters
+
+    video_pairs = TR * TC
+    frame_comparisons = video_pairs * PAD * PAD
+    pairs_per_sec = video_pairs / dt
+    log(
+        f"tile {TR}x{TC} videos ({PAD} frames each): {dt * 1000:.2f} ms"
+        f" = {pairs_per_sec:,.0f} video pairs/s,"
+        f" {frame_comparisons / dt:,.0f} frame comparisons/s"
+    )
+
+    # projection: 1M x 1M upper-triangle sweep on 8 chips (row-sharded,
+    # embarrassingly parallel — measured single-chip rate x 8)
+    total_pairs = 1_000_000 * 1_000_000 / 2
+    projected_sec_v5e8 = total_pairs / (pairs_per_sec * 8)
+    log(f"projected 1M-video all-pairs on v5e-8: {projected_sec_v5e8:,.1f} s")
+
+    print(
+        json.dumps(
+            {
+                "metric": "allpairs_1m_videos_projected_sec_v5e8",
+                "value": round(projected_sec_v5e8, 1),
+                "unit": "s",
+                "vs_baseline": round(60.0 / projected_sec_v5e8, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -27,29 +27,36 @@ _DCT = np.asarray(pm.DCT_MATRIX, dtype=np.float32)  # [16, 64]
 _QS = np.float32(pm.QUALITY_SCALE)
 
 
+def _shift(x: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
+    """k > 0: out[i] = x[i+k] (zero past the end); k < 0: out[i] = x[i+k]
+    (zero before the start). Exact zero padding."""
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    if k >= 0:
+        sl = jax.lax.slice_in_dim(x, k, n, axis=axis)
+        pad[axis] = (0, k)
+    else:
+        sl = jax.lax.slice_in_dim(x, 0, n + k, axis=axis)
+        pad[axis] = (-k, 0)
+    return jnp.pad(sl, pad)
+
+
 def _box_pass(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     """One window-8 box pass along ``axis`` (last two axes are the frame).
 
-    Fixed-order chain of 8 zero-padded shifted adds, then multiply by the
-    per-position f32 reciprocal of the live window count. Mirrors
-    python_ref._box_pass op for op.
+    The spec's log-tree order (vpdq/pdq_math.py): backward-window tree
+    a2/a4, one down-shifted add, then the per-position reciprocal multiply.
+    Mirrors python_ref._box_pass op for op.
     """
     n = x.shape[axis]
-    acc = None
-    for off in range(-pm.OFF_L, pm.OFF_R + 1):
-        if off >= 0:
-            sl = jax.lax.slice_in_dim(x, off, n, axis=axis)
-            pad = [(0, 0)] * x.ndim
-            pad[axis] = (0, off)
-        else:
-            sl = jax.lax.slice_in_dim(x, 0, n + off, axis=axis)
-            pad = [(0, 0)] * x.ndim
-            pad[axis] = (-off, 0)
-        shifted = jnp.pad(sl, pad)
-        acc = shifted if acc is None else acc + shifted
+    a2 = x + _shift(x, -1, axis)
+    a4 = a2 + _shift(a2, -2, axis)  # sum x[i-3..i], left-clipped
+    c2 = x + _shift(x, 1, axis)
+    c4 = c2 + _shift(c2, 2, axis)  # sum x[i..i+3], right-clipped
+    s8 = a4 + _shift(c4, 1, axis)  # sum x[i-3..i+4]
     shape = [1] * x.ndim
     shape[axis] = n
-    return acc * jnp.asarray(_RECIPS).reshape(shape)
+    return s8 * jnp.asarray(_RECIPS).reshape(shape)
 
 
 def _luma(frames_u8: jnp.ndarray) -> jnp.ndarray:

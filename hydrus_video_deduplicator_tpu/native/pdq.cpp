@@ -63,9 +63,44 @@ inline float recip_for(int count) {
 }
 
 // Box-filter `n` elements with stride `stride`, window [i-off_l, i+off_r].
-// Fixed ascending-offset add chain; zero terms skipped (adding +0.0f to a
-// non-negative f32 is the identity, so this equals the padded chain).
-void box_pass_1d(const float* in, float* out, int n, int stride, int off_l, int off_r) {
+//
+// Window-8 passes use the spec's log-tree order (pdq_math.py): backward
+// up-shifted tree a2/a4 (in-place, descending i so the not-yet-updated
+// lower term is read), one down-shifted add (ascending i), then the
+// reciprocal multiply. This is the order the TPU kernels reproduce.
+// Other windows (only reachable for non-512 inputs, a C++-only
+// convenience) fall back to a sequential clipped chain.
+void box_pass_1d(const float* in, float* out, float* scratch, int n, int stride, int off_l,
+                 int off_r) {
+    int window = off_l + off_r + 1;
+    if (window == 8 && off_l == 3 && off_r == 4) {
+        float* a = scratch;      // backward tree: sum x[i-3..i], left-clipped
+        float* c = scratch + n;  // forward tree:  sum x[i..i+3], right-clipped
+        for (int i = 0; i < n; i++) a[i] = in[i * stride];
+        for (int i = 0; i < n; i++) c[i] = in[i * stride];
+        for (int level = 1; level <= 2; level <<= 1) {
+            // descending i: a[i-level] still holds the previous level
+            for (int i = n - 1; i >= 0; i--) {
+                float lo = (i - level >= 0) ? a[i - level] : 0.0f;
+                a[i] = a[i] + lo;
+            }
+            // ascending i: c[i+level] still holds the previous level
+            for (int i = 0; i < n; i++) {
+                float hi = (i + level < n) ? c[i + level] : 0.0f;
+                c[i] = c[i] + hi;
+            }
+        }
+        for (int i = 0; i < n; i++) {
+            float fwd = (i + 1 < n) ? c[i + 1] : 0.0f;
+            float s8 = a[i] + fwd;
+            int lo = i - off_l;
+            if (lo < 0) lo = 0;
+            int hi = i + off_r;
+            if (hi > n - 1) hi = n - 1;
+            out[i * stride] = s8 * recip_for(hi - lo + 1);
+        }
+        return;
+    }
     for (int i = 0; i < n; i++) {
         int lo = i - off_l;
         if (lo < 0) lo = 0;
@@ -101,11 +136,13 @@ void pdq_hash_frame_impl(const uint8_t* rgb, int w, int h, uint8_t out_hash[PDQ_
 
     // 2. Jarosz filter: N_REPS x (rows pass, cols pass)
     Dims dw(w), dh(h);
+    std::vector<float> scratch(2 * (size_t)(w > h ? w : h));
     for (int rep = 0; rep < PDQ_N_REPS; rep++) {
         for (int r = 0; r < h; r++)  // along each row (contiguous)
-            box_pass_1d(&buf_a[(size_t)r * w], &buf_b[(size_t)r * w], w, 1, dw.off_l, dw.off_r);
+            box_pass_1d(&buf_a[(size_t)r * w], &buf_b[(size_t)r * w], scratch.data(), w, 1,
+                        dw.off_l, dw.off_r);
         for (int c = 0; c < w; c++)  // along each column (stride w)
-            box_pass_1d(&buf_b[c], &buf_a[c], h, w, dh.off_l, dh.off_r);
+            box_pass_1d(&buf_b[c], &buf_a[c], scratch.data(), h, w, dh.off_l, dh.off_r);
     }
 
     // 3. decimate at ((2i+1)*h)/(2*64), ((2j+1)*w)/(2*64)

@@ -37,18 +37,24 @@ W = pm.WINDOW  # 8
 def _box_pass(x: jnp.ndarray, axis: int, recip: jnp.ndarray) -> jnp.ndarray:
     """Window-8 box pass along ``axis`` of a [512, 512] f32 value.
 
-    Same op order as the oracle: for off in -3..+4, add the rolled copy with
-    out-of-frame positions replaced by exact 0.0; then multiply by the
-    per-position reciprocal (broadcast along the other axis).
+    Same log-tree op order as the oracle (vpdq/pdq_math.py): backward-window
+    tree a2/a4 (roll + zero mask), one down-shifted add, then the
+    per-position reciprocal multiply (broadcast along the other axis).
     """
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
-    acc = None
-    for off in range(-pm.OFF_L, pm.OFF_R + 1):
-        rolled = pltpu.roll(x, (-off) % N, axis)
-        valid = (idx + off >= 0) & (idx + off <= N - 1)
-        term = jnp.where(valid, rolled, 0.0)
-        acc = term if acc is None else acc + term
-    return acc * recip
+
+    def shift(v, k):  # out[i] = v[i+k], exact zeros out of range
+        rolled = pltpu.roll(v, (-k) % N, axis)
+        if k >= 0:
+            return jnp.where(idx <= N - 1 - k, rolled, 0.0)
+        return jnp.where(idx >= -k, rolled, 0.0)
+
+    a2 = x + shift(x, -1)
+    a4 = a2 + shift(a2, -2)  # sum x[i-3..i], left-clipped
+    c2 = x + shift(x, 1)
+    c4 = c2 + shift(c2, 2)  # sum x[i..i+3], right-clipped
+    s8 = a4 + shift(c4, 1)  # sum x[i-3..i+4]
+    return s8 * recip
 
 
 def _pdq_filter_kernel(frame_ref, rrow_ref, rcol_ref, out_ref):

@@ -1,0 +1,153 @@
+"""Fused Pallas kernel for all-pairs VPDQ video similarity.
+
+The XLA engine tile (ops/similarity.py + parallel/engine.py) materializes
+the frame-pair Hamming matrix to HBM, making corpus sweeps HBM-bound (~5G
+frame comparisons/s measured). This kernel keeps the whole tile pipeline in
+VMEM and leans on three tricks:
+
+1. **Zero-row padding**: frames are {-1,+1} int8 rows; padding/empty slots
+   are all-zero rows. dot(0, x) = 0 => Hamming = 128 > 31, so padded frames
+   can never match anything (including other pads) — no validity masks.
+2. **Single-compare matching**: d <= 31  <=>  dot >= 256 - 2*31 = 194, so
+   the match matrix is one compare straight off the MXU accumulator.
+3. **One-hot reductions**: per-video "any frame matched" / counts are MXU
+   matmuls against 0/1 video-membership matrices (passed in, hoisted out of
+   the grid), so the ragged reduction needs no reshapes or gathers.
+
+Per grid step (row-video block x col-video block):
+    dot    = a_pm1 @ b_pm1^T            (int8 MXU, int32 accum) [RBf, CBf]
+    m8     = (dot >= 194) as int8
+    cnt_b  = m8 @ onehot_b;  ma = onehot_a^T @ (cnt_b > 0)      [RB, CB]
+    cnt_a  = onehot_a^T @ m8; mb = (cnt_a > 0) @ onehot_b       [RB, CB]
+    sim    = min(100*ma // max(fa,1), 100*mb // max(fb,1))
+
+Only the int32 [RB, CB] similarity block leaves the chip. Results are
+bit-identical to ops.similarity.video_pair_similarity (empty videos score 0
+automatically: every row zero => ma = 0).
+
+Mosaic notes: int8 is supported only as MXU operand dtype — all elementwise
+logic stays in int32/bool with casts at matmul boundaries; bool transposes
+don't lower (avoided entirely here).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..vpdq import pdq_math as pm
+
+BITS = 8 * pm.BYTES_PER_HASH  # 256
+TOL = pm.DEFAULT_DISTANCE_TOLERANCE
+MATCH_DOT = BITS - 2 * TOL  # dot >= this  <=>  hamming <= TOL
+
+#: videos per grid block (rows x cols). Frame blocks are RB*pa x CB*pb.
+RB = 64
+CB = 256
+
+
+def _make_kernel(pa: int, pb: int):
+    def kernel(a_ref, b_ref, oa_ref, ob_ref, fa_ref, fb_ref, out_ref):
+        a = a_ref[:]  # [RB*pa, 256] int8 (±1 rows; zero rows = padding)
+        b = b_ref[:]  # [CB*pb, 256] int8
+        onehot_a = oa_ref[:]  # [RB*pa, RB] int8
+        onehot_b = ob_ref[:]  # [CB*pb, CB] int8
+        fa = fa_ref[:]  # [RB, 1] int32 true frame counts
+        fb = fb_ref[:]  # [CB, 1] int32
+
+        dot = jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )  # [RBf, CBf]
+        m8 = (dot >= MATCH_DOT).astype(jnp.int8)
+
+        cnt_b = jax.lax.dot_general(  # [RBf, CB]
+            m8, onehot_b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        hits_b = (cnt_b > 0).astype(jnp.int8)
+        ma = jax.lax.dot_general(  # [RB, CB]
+            onehot_a, hits_b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        cnt_a = jax.lax.dot_general(  # [RB, CBf]
+            onehot_a, m8, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        hits_a = (cnt_a > 0).astype(jnp.int8)
+        mb = jax.lax.dot_general(  # [RB, CB]
+            hits_a, onehot_b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+
+        fa_div = jnp.maximum(fa, 1)  # [RB, 1]
+        fb_div = jnp.maximum(fb.T, 1)  # [1, CB] (int32 transpose lowers fine)
+        out_ref[:] = jnp.minimum((100 * ma) // fa_div, (100 * mb) // fb_div)
+
+    return kernel
+
+
+def _onehot(frames: int, videos: int, p: int) -> np.ndarray:
+    m = np.zeros((frames, videos), dtype=np.int8)
+    m[np.arange(frames), np.arange(frames) // p] = 1
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("pa", "pb"))
+def similarity_block_pallas(
+    a_pm1: jnp.ndarray,  # [Ra*pa, 256] int8 (zero rows for pad), Ra % RB == 0
+    fa: jnp.ndarray,  # [Ra, 1] int32
+    b_pm1: jnp.ndarray,  # [Cb*pb, 256] int8
+    fb: jnp.ndarray,  # [Cb, 1] int32
+    pa: int,
+    pb: int,
+) -> jnp.ndarray:
+    """Integer video similarity [Ra, Cb] over ±1/0 frame rows (TPU only)."""
+    ra = fa.shape[0]
+    cb = fb.shape[0]
+    assert ra % RB == 0 and cb % CB == 0, (ra, cb)
+    grid = (ra // RB, cb // CB)
+    onehot_a = jnp.asarray(_onehot(RB * pa, RB, pa))
+    onehot_b = jnp.asarray(_onehot(CB * pb, CB, pb))
+
+    grid_spec = pl.GridSpec(
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RB * pa, BITS), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB * pb, BITS), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB * pa, RB), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB * pb, CB), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((RB, CB), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _make_kernel(pa, pb),
+        out_shape=jax.ShapeDtypeStruct((ra, cb), jnp.int32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ra * pa * cb * pb * BITS,
+            bytes_accessed=ra * pa * BITS + cb * pb * BITS + ra * cb * 4,
+            transcendentals=0,
+        ),
+    )(a_pm1, b_pm1, onehot_a, onehot_b, fa, fb)
+
+
+def unpack_pm1_host(packed: np.ndarray, counts: np.ndarray | None = None) -> np.ndarray:
+    """[V, P, 8] uint32 -> [V*P, 256] int8 ±1; padded frames become zero rows.
+
+    counts: [V] true frame counts (frames at or past the count are zeroed).
+    When None, every row is treated as real.
+    """
+    v, p, lanes = packed.shape
+    flat = packed.reshape(v * p, lanes)
+    bits = (
+        (flat[:, :, None] >> np.arange(32, dtype=np.uint32)[None, None, :]) & 1
+    ).astype(np.int8)
+    pm1 = (bits.reshape(v * p, BITS) << 1) - 1
+    if counts is not None:
+        idx = np.arange(v * p)
+        valid = (idx % p) < np.asarray(counts, np.int64)[idx // p]
+        pm1[~valid] = 0
+    return pm1

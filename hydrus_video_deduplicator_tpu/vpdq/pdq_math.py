@@ -14,13 +14,22 @@ op ordering. The op-ordering contract ("exact-by-construction PDQ") is:
 2.  Jarosz filter: two (rows, cols) passes of a window-8 box filter, i.e. the
     two-pass tent filter of reference PDQ (window = ceil(512/64) = 8,
     window span per output i is [i-3, i+4] clipped to the frame — the same
-    span as upstream PDQ's box1D phase logic). Each pass is computed as a
-    FIXED-ORDER chain of 8 shifted adds (offset -3 first, +4 last; missing
-    edge terms contribute exact 0.0f) followed by a multiply with a
-    precomputed f32 reciprocal of the live window count. Multiplying by a
-    shared reciprocal constant (instead of dividing) makes CPU and TPU agree
-    bitwise; it deviates from upstream PDQ's ``sum / count`` by <= 1 ulp,
-    which is far below the median-threshold decision noise.
+    span as upstream PDQ's box1D phase logic). Each pass uses a FIXED
+    log-tree summation order over the zero-padded window:
+
+        a2 = x  + shift_up(x, 1)         # shift_up(v,k)[i] = v[i-k], 0 OOB
+        a4 = a2 + shift_up(a2, 2)        # a4[i] = sum x[i-3 .. i], left-clipped
+        c2 = x  + shift_down(x, 1)       # shift_down(v,k)[i] = v[i+k], 0 OOB
+        c4 = c2 + shift_down(c2, 2)      # c4[i] = sum x[i .. i+3], right-clipped
+        s8 = a4 + shift_down(c4, 1)      # s8[i] = sum x[i-3 .. i+4], both-clipped
+        out = s8 * RECIP[count[i]]
+
+    (3 adds instead of a 7-add sequential chain — the order every
+    implementation must reproduce exactly). Out-of-frame terms are exact
+    0.0f. Multiplying by a shared f32 reciprocal constant (instead of
+    dividing) makes CPU and TPU agree bitwise; it deviates from upstream
+    PDQ's ``sum / count`` by <= 1 ulp, far below the median-threshold
+    decision noise, as is the tree-vs-sequential reassociation.
 3.  Decimate: sample the filtered 512x512 at (8i+4, 8j+4) — identical to
     upstream PDQ's ``(int)((i + 0.5) * 512 / 64)``.
 4.  Quality: sum over vertical+horizontal neighbor diffs of

@@ -30,33 +30,39 @@ def luma_milli_f32(rgb: np.ndarray) -> np.ndarray:
     return milli.astype(np.float32)
 
 
+def _shift(x: np.ndarray, k: int, axis: int) -> np.ndarray:
+    """out[i] = x[i+k] along axis (k may be negative); exact 0.0 out of range."""
+    n = x.shape[axis]
+    out = np.zeros_like(x)
+    if k >= 0:
+        src, dst = slice(k, n), slice(0, n - k)
+    else:
+        src, dst = slice(0, n + k), slice(-k, n)
+    if axis == 0:
+        out[dst, :] = x[src, :]
+    else:
+        out[:, dst] = x[:, src]
+    return out
+
+
 def _box_pass(x: np.ndarray, axis: int) -> np.ndarray:
     """One window-8 box pass along ``axis`` of a 2D f32 array.
 
-    Fixed-order chain of shifted adds (offset -OFF_L first .. +OFF_R last;
-    out-of-range terms are exact zeros), then multiply by the per-position
+    The spec's log-tree order (pdq_math module docstring): backward-window
+    tree a2/a4, one down-shifted add, then multiply by the per-position
     f32 reciprocal of the live window count.
     """
     n = x.shape[axis]
-    acc = np.zeros_like(x)
-    for off in range(-pm.OFF_L, pm.OFF_R + 1):
-        # contribution of in[i + off] to out[i]
-        shifted = np.zeros_like(x)
-        if off >= 0:
-            src = slice(off, n)
-            dst = slice(0, n - off)
-        else:
-            src = slice(0, n + off)
-            dst = slice(-off, n)
-        if axis == 0:
-            shifted[dst, :] = x[src, :]
-        else:
-            shifted[:, dst] = x[:, src]
-        acc = acc + shifted  # one f32 add per step, fixed order
+    assert pm.WINDOW == 8, "log-tree spec is defined for window 8"
+    a2 = x + _shift(x, -1, axis)
+    a4 = a2 + _shift(a2, -2, axis)  # sum x[i-3..i], left-clipped
+    c2 = x + _shift(x, 1, axis)
+    c4 = c2 + _shift(c2, 2, axis)  # sum x[i..i+3], right-clipped
+    s8 = a4 + _shift(c4, 1, axis)  # sum x[i-3..i+4]
     recips = pm.box_recips(n).astype(np.float32)
     if axis == 0:
-        return acc * recips[:, None]
-    return acc * recips[None, :]
+        return s8 * recips[:, None]
+    return s8 * recips[None, :]
 
 
 def jarosz_filter(luma: np.ndarray) -> np.ndarray:
