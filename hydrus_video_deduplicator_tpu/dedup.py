@@ -596,6 +596,8 @@ class HydrusVideoDeduplicator:
 
         if not files:
             return 0
+        if self.should_skip_step_fn and self.should_skip_step_fn():
+            return 0
         min_sim = 101 - search_threshold  # distance <= t  <=>  int sim >= 101 - t
 
         # corpus: every mapped file and its phash
@@ -632,6 +634,10 @@ class HydrusVideoDeduplicator:
             colour="BLUE",
         ) as pbar:
             for r, c, _sim in hits:
+                if self.should_skip_step_fn and self.should_skip_step_fn():
+                    # leave the search cache unmarked so the next run redoes
+                    # the remaining marking work
+                    return num_similar_pairs // 2
                 hash_a = row_ids[r]
                 hash_b = all_ids[c]
                 if hash_a == hash_b:

@@ -140,9 +140,18 @@ class TpuSearchEngine:
     is used. Results are identical.
     """
 
-    def __init__(self, tile_rows: int = TILE_ROWS, tile_cols: int = TILE_COLS):
+    def __init__(
+        self, tile_rows: int = TILE_ROWS, tile_cols: int = TILE_COLS, mesh=None
+    ):
+        """mesh: optional jax.sharding.Mesh (1-D). When given, XLA tiles are
+        row-sharded over the mesh with shard_map (each device computes its
+        slab of the similarity matrix against replicated columns)."""
         self.tile_rows = tile_rows
         self.tile_cols = tile_cols
+        self.mesh = mesh
+        if mesh is not None:
+            n = mesh.devices.size
+            self.tile_rows = ((tile_rows + n - 1) // n) * n
 
     #: use the fused Pallas kernel only when a bucket pair has at least this
     #: many frame comparisons — below it the XLA tile path finishes faster
@@ -202,7 +211,12 @@ class TpuSearchEngine:
                 cj = slice(j0, min(j0 + tc, len(c_idx)))
                 cf = _pad_rows(c_frames[cj], tc)
                 cc = _pad_rows(c_counts[cj], tc)
-                sim = np.asarray(_tile_similarity(rf, rc, cf, cc, pa, pb))
+                if self.mesh is not None:
+                    sim = np.asarray(
+                        sharded_tile_similarity(self.mesh, rf, rc, cf, cc, pa, pb)
+                    )
+                else:
+                    sim = np.asarray(_tile_similarity(rf, rc, cf, cc, pa, pb))
                 hits = np.argwhere(sim >= min_sim)
                 for a, b in hits:
                     if a < (ri.stop - ri.start) and b < (cj.stop - cj.start):

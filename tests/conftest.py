@@ -14,7 +14,14 @@ import os
 
 _platform = os.environ.get("HVD_TEST_PLATFORM", "cpu")
 if _platform == "cpu":
-    # note: this jax build (axon plugin) ignores JAX_PLATFORMS; set both
+    # Best effort: on a standard jax build this selects an 8-device virtual
+    # CPU platform. NOTE: this environment's axon jax plugin reads platform
+    # selection only from the env at interpreter start, so under it these
+    # lines are a no-op and the suite runs against the real device (still
+    # green, just slower); mesh-dependent tests skip unless the env is set
+    # in the shell:
+    #   JAX_PLATFORM_NAME=cpu JAX_PLATFORMS=cpu \
+    #   XLA_FLAGS=--xla_force_host_platform_device_count=8 pytest tests/
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")

@@ -235,3 +235,38 @@ def test_identical_phashes_share_id(fresh_db):
     ha, hb = db.get_hash_id("a"), db.get_hash_id("b")
     got = {h for h, d in tree.search_file(ha, vptree.fix_vpdq_similarity(75.0))}
     assert got == {ha, hb}
+
+
+def test_migration_0_6_0_sqlitedict():
+    """A reference-era 0.6.0 database (SqliteDict pickle 'videos' table, no
+    version table) migrates all the way to the current version
+    (reference DedupeDB.py:461-523 then 525-577)."""
+    import json
+    import pickle
+    import sqlite3 as sq
+
+    with TemporaryDirectory() as tmp:
+        DedupeDB.set_db_dir(Path(tmp) / somedbdir())
+        DedupeDB.get_db_dir().mkdir(parents=True)
+        path = DedupeDB.get_db_file_path()
+        con = sq.connect(path)
+        con.execute("CREATE TABLE videos (key TEXT PRIMARY KEY, value BLOB)")
+        h1 = bytes(range(32))
+        old_json = json.dumps([f"{h1[::-1].hex()},90,0"])
+        record = {"perceptual_hash": old_json, "farthest_search_index": 3}
+        con.execute(
+            "INSERT INTO videos (key, value) VALUES (?, ?)",
+            ("aa" * 32, pickle.dumps(record)),
+        )
+        con.commit()
+        con.close()
+
+        db = DedupeDB.DedupeDb(DedupeDB.get_db_dir(), DedupeDB.get_db_name())
+        db.init_connection()
+        assert db.get_version() == "0.6.0"  # no version table yet
+        assert db.upgrade_db()
+        db.commit()
+        assert db.get_version() == DedupeDB.DB_VERSION
+        rows = db.execute("SELECT file_hash, phash FROM phashed_file_queue").fetchall()
+        assert rows == [("aa" * 32, h1)]
+        db.close()

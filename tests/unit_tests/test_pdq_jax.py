@@ -19,6 +19,12 @@ pytestmark = pytest.mark.skipif(not native.is_available(), reason="native lib no
 
 
 def _on_tpu() -> bool:
+    """Heavy Pallas tests are opt-in (multi-minute Mosaic compiles): they
+    need real TPU hardware AND HVD_TEST_PLATFORM=tpu set explicitly."""
+    import os
+
+    if os.environ.get("HVD_TEST_PLATFORM") != "tpu":
+        return False
     import jax
 
     return jax.devices()[0].platform == "tpu"

@@ -7,6 +7,12 @@ import pytest
 
 
 def _on_tpu() -> bool:
+    """Opt-in (multi-minute Mosaic compile): needs real TPU hardware AND
+    HVD_TEST_PLATFORM=tpu set explicitly."""
+    import os
+
+    if os.environ.get("HVD_TEST_PLATFORM") != "tpu":
+        return False
     import jax
 
     return jax.devices()[0].platform == "tpu"
