@@ -38,16 +38,20 @@ def _box_pass(x: jnp.ndarray, axis: int, recip: jnp.ndarray) -> jnp.ndarray:
     """Window-8 box pass along ``axis`` of a [512, 512] f32 value.
 
     Same log-tree op order as the oracle (vpdq/pdq_math.py): backward-window
-    tree a2/a4 (roll + zero mask), one down-shifted add, then the
-    per-position reciprocal multiply (broadcast along the other axis).
+    tree a2/a4 (roll + zero mask), forward tree c2/c4, one down-shifted
+    add, then the per-position reciprocal multiply. Validity masks are
+    rank-1 in the shifted axis (broadcast in the select), computed once per
+    distinct shift.
     """
-    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    shape = (1, N) if axis == 1 else (N, 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+    masks: dict[int, jnp.ndarray] = {}
 
     def shift(v, k):  # out[i] = v[i+k], exact zeros out of range
+        if k not in masks:
+            masks[k] = (idx <= N - 1 - k) if k >= 0 else (idx >= -k)
         rolled = pltpu.roll(v, (-k) % N, axis)
-        if k >= 0:
-            return jnp.where(idx <= N - 1 - k, rolled, 0.0)
-        return jnp.where(idx >= -k, rolled, 0.0)
+        return jnp.where(masks[k], rolled, 0.0)
 
     a2 = x + shift(x, -1)
     a4 = a2 + shift(a2, -2)  # sum x[i-3..i], left-clipped

@@ -106,21 +106,24 @@ def similarity_block_pallas(
     ra = fa.shape[0]
     cb = fb.shape[0]
     assert ra % RB == 0 and cb % CB == 0, (ra, cb)
-    grid = (ra // RB, cb // CB)
+    # grid order (col-block, row-block): the grid's last axis iterates
+    # fastest, so the LARGE column block (j) only re-DMAs when the outer
+    # index changes while the small row block streams.
+    grid = (cb // CB, ra // RB)
     onehot_a = jnp.asarray(_onehot(RB * pa, RB, pa))
     onehot_b = jnp.asarray(_onehot(CB * pb, CB, pb))
 
     grid_spec = pl.GridSpec(
         grid=grid,
         in_specs=[
-            pl.BlockSpec((RB * pa, BITS), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CB * pb, BITS), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB * pa, RB), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CB * pb, CB), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CB, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB * pa, BITS), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB * pb, BITS), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB * pa, RB), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB * pb, CB), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CB, 1), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((RB, CB), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((RB, CB), lambda j, i: (i, j), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         _make_kernel(pa, pb),
