@@ -85,7 +85,13 @@ class HVDClient:
         return self.client.VERSION
 
     def get_hydrus_api_version(self):
-        response = self.client.get_api_version()
+        try:
+            response = self.client.get_api_version()
+        except hydrus_api.HydrusAPIException as exc:
+            raise ClientAPIException(
+                "Failed to fetch the Hydrus API version. Is Hydrus still running?",
+                str(exc),
+            )
         if "version" not in response:
             raise ClientAPIException(
                 "'version' missing from the Hydrus API version response."

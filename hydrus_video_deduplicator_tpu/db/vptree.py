@@ -400,6 +400,7 @@ class VpTreeManager:
         )
 
         useful_nodes = [row for row in branch if row[0] in useful_ids]
+        useful_population = len(useful_nodes)  # before popping the new root
         if useful_nodes:
             new_root_id, new_root_phash = self.pop_best_root_node(useful_nodes)
         else:
@@ -422,7 +423,7 @@ class VpTreeManager:
         self.db.execute(
             f"UPDATE shape_vptree SET {side}_id = ?, {side}_population = ?"
             " WHERE phash_id = ?",
-            (new_root_id, len(useful_nodes), parent_id),
+            (new_root_id, useful_population, parent_id),
         )
         self._invalidate_cache((parent_id,))
         if useful_nodes:

@@ -598,7 +598,11 @@ class HydrusVideoDeduplicator:
             return 0
         if self.should_skip_step_fn and self.should_skip_step_fn():
             return 0
-        min_sim = 101 - search_threshold  # distance <= t  <=>  int sim >= 101 - t
+        # distance <= t  <=>  int sim >= 101 - t; clamped to >= 1 — at the
+        # degenerate threshold 0.0 ("everything matches") the engine still
+        # requires at least 1% similarity (use the tree backend for exact
+        # reference semantics there).
+        min_sim = max(1, 101 - search_threshold)
 
         # corpus: every mapped file and its phash
         corpus = self.db.execute(

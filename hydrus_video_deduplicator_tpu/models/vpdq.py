@@ -87,19 +87,23 @@ class TpuVideoHasher:
     # -- decode stage -----------------------------------------------------
 
     def _decode_worker(self, jobs: "queue.Queue", out: "queue.Queue") -> None:
+        """Streams ('frame', idx, frame_no, planar) messages through the
+        frame-bounded queue (true decode->device backpressure: memory is
+        bounded by frames in flight, not videos), then a
+        ('done', idx, n_frames, error) terminator per video."""
         while True:
             item = jobs.get()
             if item is None:
                 return
-            idx, key, video = item
+            idx, _key, video = item
+            n = 0
             try:
-                frames = [
-                    np.ascontiguousarray(f.transpose(2, 0, 1))  # planar
-                    for f in extract_frames(video)
-                ]
-                out.put((idx, key, frames, None))
+                for f in extract_frames(video):
+                    out.put(("frame", idx, n, np.ascontiguousarray(f.transpose(2, 0, 1))))
+                    n += 1
+                out.put(("done", idx, n, None))
             except Exception as exc:  # typed failure, never poisons the batch
-                out.put((idx, key, None, exc))
+                out.put(("done", idx, n, exc))
 
     # -- main pipeline -----------------------------------------------------
 
@@ -109,12 +113,10 @@ class TpuVideoHasher:
         progress: Callable[[int, int], None] | None = None,
     ) -> list[VideoResult]:
         items = list(items)
-        results: dict[int, VideoResult] = {}
+        errors: dict[int, Exception] = {}
 
         jobs: "queue.Queue" = queue.Queue()
-        decoded: "queue.Queue" = queue.Queue(
-            maxsize=max(2, FRAME_BUFFER_FRAMES // max(self.batch_size, 1))
-        )
+        decoded: "queue.Queue" = queue.Queue(maxsize=FRAME_BUFFER_FRAMES)
         for idx, (key, video) in enumerate(items):
             jobs.put((idx, key, video))
         workers = []
@@ -129,9 +131,10 @@ class TpuVideoHasher:
 
         # accumulate frames across videos into device batches
         pending_frames: list[np.ndarray] = []  # planar [3,512,512]
-        pending_owner: list[int] = []  # index into items per frame
-        frames_per_video: dict[int, int] = {}
-        hashes_per_video: dict[int, list[tuple[int, bytes]]] = {}
+        pending_owner: list[tuple[int, int]] = []  # (video idx, frame_no)
+        hashes_per_video: dict[int, list[tuple[int, bytes]]] = {
+            i: [] for i in range(len(items))
+        }
         done_decoding = 0
 
         def flush(batch_frames, batch_owner):
@@ -151,43 +154,36 @@ class TpuVideoHasher:
 
             blobs = words_to_blobs(words)
             for i in range(n):
-                owner = batch_owner[i]
-                order = len(hashes_per_video.setdefault(owner, []))
-                if qual[i] >= self.quality_min:
-                    hashes_per_video[owner].append((order, blobs[i]))
-                else:
-                    hashes_per_video[owner].append((order, b""))
+                owner, frame_no = batch_owner[i]
+                blob = blobs[i] if qual[i] >= self.quality_min else b""
+                hashes_per_video[owner].append((frame_no, blob))
 
         while done_decoding < len(items):
-            idx, key, frames, exc = decoded.get()
-            done_decoding += 1
-            if exc is not None:
-                results[idx] = VideoResult(key, None, exc)
-            else:
-                frames_per_video[idx] = len(frames)
-                hashes_per_video.setdefault(idx, [])
-                for f in frames:
-                    pending_frames.append(f)
-                    pending_owner.append(idx)
-                while len(pending_frames) >= self.batch_size:
-                    flush(
-                        pending_frames[: self.batch_size],
-                        pending_owner[: self.batch_size],
-                    )
-                    pending_frames = pending_frames[self.batch_size :]
-                    pending_owner = pending_owner[self.batch_size :]
-            if progress:
-                progress(done_decoding, len(items))
+            msg = decoded.get()
+            if msg[0] == "frame":
+                _, idx, frame_no, frame = msg
+                pending_frames.append(frame)
+                pending_owner.append((idx, frame_no))
+                if len(pending_frames) >= self.batch_size:
+                    flush(pending_frames, pending_owner)
+                    pending_frames, pending_owner = [], []
+            else:  # ("done", idx, n_frames, error)
+                _, idx, _n, exc = msg
+                done_decoding += 1
+                if exc is not None:
+                    errors[idx] = exc
+                if progress:
+                    progress(done_decoding, len(items))
         flush(pending_frames, pending_owner)
         for t in workers:
             t.join()
 
         out: list[VideoResult] = []
         for idx, (key, _video) in enumerate(items):
-            if idx in results:  # decode failure
-                out.append(results[idx])
+            if idx in errors:  # decode failure: drop any partial hashes
+                out.append(VideoResult(key, None, errors[idx]))
                 continue
-            parts = sorted(hashes_per_video.get(idx, []))
+            parts = sorted(hashes_per_video[idx])
             blob = b"".join(b for _, b in parts)
             out.append(VideoResult(key, VpdqHash(blob)))
         return out

@@ -91,7 +91,13 @@ def hamming_tile_popcount(a_packed: jnp.ndarray, b_packed: jnp.ndarray) -> jnp.n
     return jax.lax.population_count(x).sum(axis=2).astype(jnp.int32)
 
 
-def video_pair_similarity(
+def video_pair_similarity(  # noqa: C901 - reference implementation
+    # NOTE: this flat-layout aggregation is the readable REFERENCE
+    # implementation of the video-level match-fraction semantics, used by
+    # tests as a second oracle. The production paths implement the same
+    # formula on bucketed layouts (parallel/engine._tile_similarity, XLA)
+    # and fused in VMEM (ops/similarity_pallas, Pallas); change all three
+    # together.
     ham: jnp.ndarray,
     a_video_ids: jnp.ndarray,
     b_video_ids: jnp.ndarray,

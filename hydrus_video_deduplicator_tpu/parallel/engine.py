@@ -39,14 +39,19 @@ BYTES = pm.BYTES_PER_HASH
 LANES = BYTES // 4
 TOL = pm.DEFAULT_DISTANCE_TOLERANCE
 
-#: Row/column video tile sizes (videos per device step). Chosen so the
-#: frame-pair block (TILE_ROWS*P) x (TILE_COLS*P) stays comfortably in HBM
-#: for the largest buckets.
+#: Nominal row/column video tile sizes (videos per device step) for an
+#: 8-frame bucket; actual tiles scale inversely with bucket frame count so
+#: the materialized frame-pair block stays bounded (see _tile_videos).
 TILE_ROWS = 128
 TILE_COLS = 1024
-#: Frame-count buckets: videos are padded up to the next power of two, to a
-#: cap; longer videos are truncated-with-remainder into the cap bucket
-#: (extremely rare: cap frames = cap seconds of video sampled at 1 fps).
+#: Frame budgets per tile side: the XLA tile materializes a
+#: [row_frames x col_frames] int32 Hamming block, so its size is bounded by
+#: TILE_ROW_FRAMES * TILE_COL_FRAMES * 4 bytes (= 32 MB) for any bucket.
+TILE_ROW_FRAMES = TILE_ROWS * 8
+TILE_COL_FRAMES = TILE_COLS * 8
+#: Videos longer than this many sampled frames (~17 min at 1 fps) skip the
+#: bucketed device path and are compared exactly on the host (native
+#: matchHashBytes) — no truncation, identical results to the tree path.
 MAX_BUCKET = 1024
 
 
@@ -54,7 +59,12 @@ def _bucket_size(n_frames: int) -> int:
     p = 1
     while p < n_frames:
         p <<= 1
-    return min(p, MAX_BUCKET)
+    return p
+
+
+def _tile_videos(nominal: int, frame_budget: int, pad: int) -> int:
+    """Videos per tile for a bucket of ``pad`` frames, at least 1."""
+    return max(1, min(nominal, frame_budget // pad))
 
 
 @dataclass
@@ -66,23 +76,30 @@ class _Bucket:
 
 
 class CorpusIndex:
-    """Host-side index: corpus of packed video hashes, bucketed by length."""
+    """Host-side index: corpus of packed video hashes, bucketed by length.
+
+    Videos with more than MAX_BUCKET frames are collected in ``long`` for
+    exact host-side comparison instead of bucketing (no truncation).
+    """
 
     def __init__(self, phashes: list[bytes]):
         self.n = len(phashes)
         self.buckets: dict[int, _Bucket] = {}
+        self.long: list[tuple[int, bytes]] = []  # (corpus index, blob)
         for i, blob in enumerate(phashes):
             n_frames = len(blob) // BYTES
             if n_frames == 0:
                 continue  # empty hashes match nothing (incl. themselves)
+            if n_frames > MAX_BUCKET:
+                self.long.append((i, blob))
+                continue
             pad = _bucket_size(n_frames)
-            kept = min(n_frames, pad)  # cap-bucket truncation (see module doc)
             packed = np.zeros((pad, LANES), dtype=np.uint32)
-            packed[:kept] = ops_sim.blobs_to_packed(blob[: kept * BYTES])
+            packed[:n_frames] = ops_sim.blobs_to_packed(blob)
             bucket = self.buckets.setdefault(pad, _Bucket(pad))
             bucket.video_idx.append(i)
             bucket.frames.append(packed)
-            bucket.counts.append(kept)
+            bucket.counts.append(n_frames)
 
     def bucket_arrays(self, pad: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         b = self.buckets[pad]
@@ -157,12 +174,16 @@ class TpuSearchEngine:
     #: many frame comparisons — below it the XLA tile path finishes faster
     #: than the kernel's first-compile cost would ever amortize
     PALLAS_MIN_FRAME_COMPARISONS = 1_000_000_000
+    #: ...and only for buckets whose per-block VMEM dot accumulator fits
+    #: (RB*pa x CB*pb int32 — pa*pb <= 64 keeps it at 4 MB)
+    PALLAS_MAX_PA_PB = 64
 
     @staticmethod
-    def _use_pallas(work: int) -> bool:
+    def _use_pallas(work: int, pa: int, pb: int) -> bool:
         return (
             jax.devices()[0].platform == "tpu"
             and work >= TpuSearchEngine.PALLAS_MIN_FRAME_COMPARISONS
+            and pa * pb <= TpuSearchEngine.PALLAS_MAX_PA_PB
         )
 
     def find_pairs(
@@ -172,10 +193,14 @@ class TpuSearchEngine:
         min_int_similarity: int,
     ) -> list[tuple[int, int, int]]:
         """All (row_index, all_index, int_similarity) with similarity >=
-        min_int_similarity. Row videos are compared against every corpus
-        video (including each other); a row video is never paired with its
-        own corpus slot (callers dedupe identical files at a higher level).
+        min_int_similarity (must be >= 1: similarity 0 means "no match" in
+        every backend). Row videos are compared against every corpus video
+        (including each other); a row video is never paired with its own
+        corpus slot (callers dedupe identical files at a higher level).
+        Videos longer than MAX_BUCKET frames are compared exactly on the
+        host.
         """
+        assert min_int_similarity >= 1, "minimum similarity must be >= 1"
         rows = CorpusIndex(row_phashes)
         cols = CorpusIndex(all_phashes)
         out: list[tuple[int, int, int]] = []
@@ -186,7 +211,7 @@ class TpuSearchEngine:
                 work = len(r_idx) * len(c_idx) * pa * pb
                 fn = (
                     self._bucket_pair_pallas
-                    if self._use_pallas(work)
+                    if self._use_pallas(work, pa, pb)
                     else self._bucket_pair
                 )
                 out.extend(
@@ -196,13 +221,54 @@ class TpuSearchEngine:
                         min_int_similarity,
                     )
                 )
+        out.extend(
+            self._long_video_pairs(rows, row_phashes, cols, all_phashes, min_int_similarity)
+        )
+        return out
+
+    @staticmethod
+    def _long_video_pairs(rows, row_phashes, cols, all_phashes, min_sim):
+        """Exact host-side comparison for videos too long to bucket.
+
+        Covers (long row x every col) and (every row x long col) without
+        double-counting the (long row x long col) block.
+        """
+        from ..vpdq import matchHashBytes
+
+        out = []
+        long_col_set = {i for i, _ in cols.long}
+        nonempty_cols = [
+            (j, blob) for j, blob in enumerate(all_phashes) if len(blob) > 0
+        ]
+        for i, blob in rows.long:
+            for j, other in nonempty_cols:
+                sim = int(matchHashBytes(blob, other, TOL))
+                if sim >= min_sim:
+                    out.append((i, j, sim))
+        nonempty_rows = [
+            (i, blob) for i, blob in enumerate(row_phashes) if len(blob) > 0
+        ]
+        long_row_set = {i for i, _ in rows.long}
+        for j, blob in cols.long:
+            for i, other in nonempty_rows:
+                if i in long_row_set:
+                    continue  # already covered above
+                sim = int(matchHashBytes(other, blob, TOL))
+                if sim >= min_sim:
+                    out.append((i, j, sim))
         return out
 
     def _bucket_pair(
         self, pa, r_idx, r_frames, r_counts, pb, c_idx, c_frames, c_counts, min_sim
     ):
         out = []
-        tr, tc = self.tile_rows, self.tile_cols
+        # scale tiles to the bucket frame counts so the materialized
+        # frame-pair block stays bounded (~32 MB int32) for any bucket
+        tr = _tile_videos(self.tile_rows, TILE_ROW_FRAMES, pa)
+        tc = _tile_videos(self.tile_cols, TILE_COL_FRAMES, pb)
+        if self.mesh is not None:
+            n = self.mesh.devices.size
+            tr = max(n, (tr // n) * n)
         for i0 in range(0, len(r_idx), tr):
             ri = slice(i0, min(i0 + tr, len(r_idx)))
             rf = _pad_rows(r_frames[ri], tr)
@@ -246,7 +312,7 @@ class TpuSearchEngine:
                 sim = np.asarray(
                     sp.similarity_block_pallas(rf, rc, cf, cc, pa, pb)
                 )
-                hits = np.argwhere(sim >= max(min_sim, 1))
+                hits = np.argwhere(sim >= min_sim)
                 for a, b in hits:
                     if a < ri_n and b < cj_n:
                         out.append((int(r_idx[i0 + a]), int(c_idx[j0 + b]), int(sim[a, b])))

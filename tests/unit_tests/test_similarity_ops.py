@@ -88,3 +88,36 @@ def test_empty_videos_never_match(rng):
     )
     assert S[0].max() == 0 and S[:, 0].max() == 0 and S[2].max() == 0
     assert S[1, 1] == 100
+
+
+def test_engine_long_videos_and_mixed_buckets(rng):
+    """Videos longer than MAX_BUCKET frames are compared exactly on the
+    host (no truncation); tiles scale with bucket frame counts."""
+    from hydrus_video_deduplicator_tpu.parallel import engine as eng
+
+    long_frames = eng.MAX_BUCKET + 64
+    # two long videos that are duplicates ONLY in their second halves
+    # (entirely past the pre-fix truncation point would've missed them)
+    n_shared = long_frames // 2 + 40
+    tail = rng.integers(0, 256, (n_shared, 32), dtype=np.uint8)
+    long_a = (
+        rng.integers(0, 256, (long_frames - n_shared, 32), dtype=np.uint8).tobytes()
+        + tail.tobytes()
+    )
+    long_b = (
+        rng.integers(0, 256, (long_frames - n_shared, 32), dtype=np.uint8).tobytes()
+        + tail.tobytes()
+    )
+    short = [rng.integers(0, 256, (3, 32), dtype=np.uint8).tobytes() for _ in range(5)]
+    short.append(short[0])  # dup pair among the short ones
+    vids = short + [long_a, long_b, b""]
+
+    pairs = eng.TpuSearchEngine(tile_rows=4, tile_cols=4).find_pairs(vids, vids, 1)
+    got = {(a, b) for a, b, s in pairs if a != b}
+    ref = set()
+    for i, x in enumerate(vids):
+        for j, y in enumerate(vids):
+            if i != j and int(native.match_hash_bytes(x, y, 31)) >= 1:
+                ref.add((i, j))
+    assert got == ref
+    assert (6, 7) in got  # the tail-duplicate long pair was found
