@@ -627,9 +627,18 @@ class HydrusVideoDeduplicator:
         # directions, a row-vs-already-searched pair once. Count them all and
         # halve at the end (reference dedup.py:502); POST each unordered pair
         # to Hydrus only once (the reference POSTs both directions — Hydrus
-        # dedupes, so the end state is identical).
+        # dedupes, so the end state is identical), batched MARK_BATCH pairs
+        # per request instead of one HTTP round-trip per pair.
+        MARK_BATCH = 256
         num_similar_pairs = 0
         marked: set[tuple[int, int]] = set()
+        pending: list[dict] = []
+
+        def post_pending():
+            if pending:
+                self.client.client.set_file_relationships(pending)
+                pending.clear()
+
         with tqdm(
             dynamic_ncols=True,
             total=len(hits),
@@ -641,6 +650,7 @@ class HydrusVideoDeduplicator:
                 if self.should_skip_step_fn and self.should_skip_step_fn():
                     # leave the search cache unmarked so the next run redoes
                     # the remaining marking work
+                    post_pending()
                     return num_similar_pairs // 2
                 hash_a = row_ids[r]
                 hash_b = all_ids[c]
@@ -651,10 +661,20 @@ class HydrusVideoDeduplicator:
                 key = (min(hash_a, hash_b), max(hash_a, hash_b))
                 if key not in marked:
                     marked.add(key)
-                    self.mark_videos_as_duplicates(
-                        self.db.get_file_hash(hash_a), self.db.get_file_hash(hash_b)
+                    pending.append(
+                        {
+                            "hash_a": self.db.get_file_hash(hash_a),
+                            "hash_b": self.db.get_file_hash(hash_b),
+                            "relationship": int(
+                                hydrus_api.DuplicateStatus.POTENTIAL_DUPLICATES
+                            ),
+                            "do_default_content_merge": True,
+                        }
                     )
+                    if len(pending) >= MARK_BATCH:
+                        post_pending()
                 pbar.update(1)
+        post_pending()
         for i, hash_id in enumerate(files, start=1):
             self.db.execute(
                 "UPDATE shape_search_cache SET searched_distance = ? WHERE hash_id = ?",
