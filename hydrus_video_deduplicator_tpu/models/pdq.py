@@ -90,16 +90,35 @@ def _dct16(buf64: jnp.ndarray) -> jnp.ndarray:
     """[B, 64, 64] f32 -> [B, 16, 16] f32 via fixed-order k mul/add chains.
 
     Deliberately NOT a matmul: MXU/XLA reduction order would break bit
-    parity with the sequential-k oracle. The arrays are tiny (1/64th of the
-    filter stage), so the 64-step VPU chain is not a bottleneck.
+    parity with the sequential-k oracle. The chains are expressed as
+    lax.scan so no backend can re-recognize them as reassociable dots
+    (XLA-CPU rewrites an unrolled 64-term mul/add chain into a dot with a
+    different accumulation order). The arrays are tiny (1/64th of the
+    filter stage), so the 64-step sequential loop is not a bottleneck.
+
+    Bit-exactness scope: TPU (and the C++/numpy oracles) are strictly
+    bit-identical. XLA-CPU contracts f32 mul+add into FMA at the LLVM
+    level regardless of flags, so the CPU-XLA fallback can drift by ~1 ulp
+    pre-threshold — up to a couple of hash bits on degenerate (constant)
+    frames. The reference's own golden-test tolerance covers this
+    (test_vpdqpy.py:116-128); the exact CPU path is the native hasher.
     """
+    batch = buf64.shape[0]
     d = jnp.asarray(_DCT)
-    tmp = jnp.zeros(buf64.shape[:1] + (pm.DCT_DIM, pm.BUF_DIM), jnp.float32)
-    for k in range(pm.BUF_DIM):
-        tmp = tmp + d[:, k][None, :, None] * buf64[:, k, :][:, None, :]
-    out = jnp.zeros(buf64.shape[:1] + (pm.DCT_DIM, pm.DCT_DIM), jnp.float32)
-    for k in range(pm.BUF_DIM):
-        out = out + tmp[:, :, k][:, :, None] * d[:, k][None, None, :]
+
+    def step1(tmp, xs):
+        dk, bk = xs  # [16], [B, 64]
+        return tmp + dk[None, :, None] * bk[:, None, :], None
+
+    tmp0 = jnp.zeros((batch, pm.DCT_DIM, pm.BUF_DIM), jnp.float32)
+    tmp, _ = jax.lax.scan(step1, tmp0, (d.T, jnp.moveaxis(buf64, 1, 0)))
+
+    def step2(out, xs):
+        dk, tk = xs  # [16], [B, 16]
+        return out + tk[:, :, None] * dk[None, None, :], None
+
+    out0 = jnp.zeros((batch, pm.DCT_DIM, pm.DCT_DIM), jnp.float32)
+    out, _ = jax.lax.scan(step2, out0, (d.T, jnp.moveaxis(tmp, 2, 0)))
     return out
 
 

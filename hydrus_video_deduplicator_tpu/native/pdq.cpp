@@ -173,7 +173,9 @@ void pdq_hash_frame_impl(const uint8_t* rgb, int w, int h, uint8_t out_hash[PDQ_
     if (quality > PDQ_QUALITY_MAX) quality = PDQ_QUALITY_MAX;
     *out_quality = quality;
 
-    // 5. DCT: out16 = D @ buf64 @ D^T, fixed-order k chains (no FMA).
+    // 5. DCT: out16 = D @ buf64 @ D^T, fixed-order k chains (no FMA:
+    //    -ffp-contract=off). Bit-identical to the numpy oracle and the
+    //    TPU path; the CPU-XLA fallback may drift ~1 ulp (LLVM FMA).
     float tmp[PDQ_DCT_DIM][PDQ_BUF_DIM];
     for (int i = 0; i < PDQ_DCT_DIM; i++)
         for (int j = 0; j < PDQ_BUF_DIM; j++) tmp[i][j] = 0.0f;

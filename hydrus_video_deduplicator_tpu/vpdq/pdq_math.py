@@ -39,8 +39,17 @@ op ordering. The op-ordering contract ("exact-by-construction PDQ") is:
 5.  DCT: ``out16 = D @ buf64 @ D^T`` with the 16x64 DCT-II matrix
     ``D[i,j] = sqrt(2/64) * cos(pi/2/64 * (i+1) * (2j+1))`` (frequencies
     1..16, skipping DC — same as upstream). Both contractions are computed
-    as fixed-order k=0..63 multiply-then-add chains in f32 (no FMA: the C++
-    build uses -ffp-contract=off and the JAX path emits separate mul/add).
+    as fixed-order k=0..63 multiply-then-add chains in f32 (no FMA: the
+    C++ build uses -ffp-contract=off; the JAX path uses lax.scan so XLA
+    cannot re-recognize the chain as a reassociable dot).
+
+    Bit-exactness scope: the numpy oracle, the C++ native path, and the
+    TPU backend are strictly bit-identical. The XLA-**CPU** fallback is
+    the one exception: LLVM contracts f32 mul+add into FMA regardless of
+    XLA flags, which can shift DCT values ~1 ulp and flip a couple of
+    near-median hash bits on degenerate (e.g. constant) frames — within
+    the reference's own golden-test tolerance. The exact CPU path is the
+    native hasher.
 6.  Threshold: median = 128th-smallest of the 256 DCT outputs (equivalent to
     upstream's torben() for n=256); ``bit[i,j] = dct[i,j] > median``.
 7.  Packing: bit index b = i*16 + j lives in 16-bit word ``w[i]`` at bit

@@ -96,3 +96,30 @@ def test_gif_decode(tmp_path):
     frames = list(extract_frames(p))
     assert len(frames) == 4  # 1 fps -> every frame
     assert frames[0].shape == (512, 512, 3)
+
+
+def test_y4m_c420_chroma_upsampling():
+    # 4x2 C420: Y plane 8 bytes, U and V planes 2 bytes each (2x1)
+    y = bytes([100, 110, 120, 130, 140, 150, 160, 170])
+    u = bytes([128, 128])  # neutral chroma -> grayscale
+    v = bytes([128, 128])
+    data = b"YUV4MPEG2 W4 H2 F1:1 C420jpeg\n" + b"FRAME\n" + y + u + v
+    frames = list(Y4MBackend().decode(data, None))
+    assert len(frames) == 1
+    frame, fps = frames[0]
+    assert frame.shape == (2, 4, 3)
+    # neutral chroma: r == g == b == y
+    assert np.array_equal(frame[:, :, 0], frame[:, :, 1])
+    assert np.array_equal(frame[:, :, 1], frame[:, :, 2])
+    assert np.array_equal(frame[:, :, 0].reshape(-1), np.frombuffer(y, np.uint8))
+
+
+def test_y4m_nonneutral_chroma():
+    y = bytes([128] * 8)
+    u = bytes([200, 60])
+    v = bytes([60, 200])
+    data = b"YUV4MPEG2 W4 H2 F1:1 C420\n" + b"FRAME\n" + y + u + v
+    frame, _ = next(iter(Y4MBackend().decode(data, None)))
+    # left 2x2 block has high U (blue-ish), low V; right block inverted
+    assert frame[0, 0, 2] > frame[0, 0, 0]  # b > r on the left
+    assert frame[0, 3, 0] > frame[0, 3, 2]  # r > b on the right
