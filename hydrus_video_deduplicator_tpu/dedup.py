@@ -509,19 +509,26 @@ class HydrusVideoDeduplicator:
 
     # -- stage 4: search ---------------------------------------------------
 
+    @staticmethod
+    def _relationship_payload(hash_a: str, hash_b: str) -> dict:
+        """The reference's potential-duplicate relationship (dedup.py:385-394)."""
+        return {
+            "hash_a": hash_a,
+            "hash_b": hash_b,
+            "relationship": int(hydrus_api.DuplicateStatus.POTENTIAL_DUPLICATES),
+            "do_default_content_merge": True,
+        }
+
     def mark_videos_as_duplicates(self, video1_hash: str, video2_hash: str) -> None:
         self.client.client.set_file_relationships(
-            [
-                {
-                    "hash_a": video1_hash,
-                    "hash_b": video2_hash,
-                    "relationship": int(hydrus_api.DuplicateStatus.POTENTIAL_DUPLICATES),
-                    "do_default_content_merge": True,
-                }
-            ]
+            [self._relationship_payload(video1_hash, video2_hash)]
         )
 
     def _pick_search_backend(self, num_files: int) -> str:
+        # degenerate thresholds (similarity < 1 => distance 101, "everything
+        # matches") only have exact reference semantics on the tree path
+        if vptree.fix_vpdq_similarity(self.threshold) > 100:
+            return "tree"
         if self.search_backend in ("tree", "tpu"):
             return self.search_backend
         try:
@@ -662,14 +669,9 @@ class HydrusVideoDeduplicator:
                 if key not in marked:
                     marked.add(key)
                     pending.append(
-                        {
-                            "hash_a": self.db.get_file_hash(hash_a),
-                            "hash_b": self.db.get_file_hash(hash_b),
-                            "relationship": int(
-                                hydrus_api.DuplicateStatus.POTENTIAL_DUPLICATES
-                            ),
-                            "do_default_content_merge": True,
-                        }
+                        self._relationship_payload(
+                            self.db.get_file_hash(hash_a), self.db.get_file_hash(hash_b)
+                        )
                     )
                     if len(pending) >= MARK_BATCH:
                         post_pending()

@@ -1,8 +1,10 @@
 """Batched PDQ frame hashing as a pure JAX (XLA) program.
 
 Implements the exact-by-construction PDQ spec (vpdq/pdq_math.py) with the
-same fixed op ordering as the numpy oracle and the C++ native path, so the
-resulting 256-bit hashes are bit-identical across CPU/TPU/XLA-CPU. See the
+same fixed op ordering as the numpy oracle and the C++ native path. The
+resulting 256-bit hashes are bit-identical on TPU (and to the oracles); the
+XLA-**CPU** fallback may drift ~1 ulp pre-threshold from LLVM FMA
+contraction (see _dct16 and pdq_math step 5 for the exact scope). See the
 oracle (vpdq/python_ref.py) for the authoritative step-by-step description.
 
 The pipeline is jittable and shardable: the batch axis is embarrassingly

@@ -236,7 +236,6 @@ class TpuSearchEngine:
         from ..vpdq import matchHashBytes
 
         out = []
-        long_col_set = {i for i, _ in cols.long}
         nonempty_cols = [
             (j, blob) for j, blob in enumerate(all_phashes) if len(blob) > 0
         ]
