@@ -408,7 +408,7 @@ class HydrusVideoDeduplicator:
         from .models.vpdq import TpuVideoHasher
 
         stats = PerceptualHashingStats()
-        hasher = TpuVideoHasher()
+        hasher = TpuVideoHasher(decode_workers=self.job_count)
         try:
             with tqdm(
                 total=len(video_hashes),

@@ -72,9 +72,18 @@ class TpuVideoHasher:
     def __init__(
         self,
         batch_size: int | None = None,
-        decode_workers: int = DECODE_WORKERS,
+        decode_workers: int | None = None,
         quality_min: int = pm.QUALITY_MIN_KEEP,
     ):
+        """decode_workers follows the reference's job-count convention
+        (entrypoint.py:79-82): n > 0 explicit, 0 -> default, negative ->
+        cores + 1 + n (so -1 = all cores, -2 = all but one)."""
+        if decode_workers is None or decode_workers == 0:
+            decode_workers = DECODE_WORKERS
+        elif decode_workers < 0:
+            import os
+
+            decode_workers = max(1, (os.cpu_count() or 2) + 1 + decode_workers)
         if batch_size is None:
             import jax
 
