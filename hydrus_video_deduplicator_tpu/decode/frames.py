@@ -52,13 +52,43 @@ def sample_indices(n_frames: int, average_fps: float | None) -> list[int]:
     return list(range(0, n_frames, step))
 
 
-def extract_frames(video: bytes | str | Path) -> Iterator[np.ndarray]:
+#: scene sampling: keep a frame when its mean abs luma diff (on an 8x
+#: decimated grid, 0-255 scale) vs the last kept frame exceeds this.
+SCENE_DIFF_THRESHOLD = 12.0
+
+
+def _scene_signature(frame512: np.ndarray) -> np.ndarray:
+    """Cheap [64, 64] int16 luma signature for scene-change detection."""
+    small = frame512[4::8, 4::8]
+    return (
+        small[:, :, 0].astype(np.int16)
+        + 2 * small[:, :, 1].astype(np.int16)
+        + small[:, :, 2].astype(np.int16)
+    ) >> 2
+
+
+def extract_frames(
+    video: bytes | str | Path,
+    sampling: str = "uniform",
+    scene_threshold: float = SCENE_DIFF_THRESHOLD,
+) -> Iterator[np.ndarray]:
     """Decode + sample + rescale: yields [512, 512, 3] uint8 rgb frames.
 
     Accepts raw bytes or a filesystem path. Backend chosen by content
     sniffing (magic bytes), mirroring the reference's "bytes in, frames out"
     contract (vpdqpy.py:59, 104-119).
+
+    sampling:
+      - "uniform" (default, reference parity): ~1 frame/sec via the
+        round(average_fps) stride.
+      - "scene": among the 1 fps candidates, keep a frame only when it
+        differs visually from the last kept frame (mean abs luma diff on a
+        decimated grid > scene_threshold). The first candidate is always
+        kept, so every video that hashes under "uniform" also hashes here.
+        Opt-in (changes hashes' frame sets; don't mix modes in one DB).
     """
+    if sampling not in ("uniform", "scene"):
+        raise DecodeError(f"unknown sampling mode: {sampling!r}")
     from . import backends
 
     data: bytes
@@ -77,12 +107,22 @@ def extract_frames(video: bytes | str | Path) -> Iterator[np.ndarray]:
     step_known = False
     step = 1
     index = 0
+    last_sig: np.ndarray | None = None
     for raw_frame, fps in backend.decode(data, src_path):
         if not step_known:
             step = effective_sample_step(fps)
             step_known = True
         if index % step == 0:
-            yield resize_nearest_512(raw_frame)
+            frame = resize_nearest_512(raw_frame)
+            if sampling == "scene":
+                sig = _scene_signature(frame)
+                if last_sig is not None:
+                    diff = float(np.abs(sig - last_sig).mean())
+                    if diff <= scene_threshold:
+                        index += 1
+                        continue
+                last_sig = sig
+            yield frame
         index += 1
     if index == 0:
         raise DecodeError("no decodable frames found")

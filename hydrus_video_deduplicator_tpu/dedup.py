@@ -145,9 +145,10 @@ class FileHasher:
 
     API_ERROR_BACKOFF_SECONDS = 3
 
-    def __init__(self, client: HVDClient, num_threads: int = 0):
+    def __init__(self, client: HVDClient, num_threads: int = 0, sampling: str = "uniform"):
         self.client = client
         self.num_threads = num_threads
+        self.sampling = sampling
 
     def _fetch_file(self, file_hash: str) -> bytes:
         try:
@@ -158,7 +159,7 @@ class FileHasher:
 
     def _phash_file(self, file: bytes) -> bytes:
         try:
-            phash_bytes = compute_phash(file, self.num_threads).bytes
+            phash_bytes = compute_phash(file, self.num_threads, sampling=self.sampling).bytes
         except Exception as exc:
             raise FailedPerceptualHashException("", str(exc))
         # Empty hashes are legitimate (all frames below quality floor).
@@ -209,6 +210,7 @@ class HydrusVideoDeduplicator:
         should_skip_step_fn: "Callable[[], bool] | None" = None,
         search_backend: str = "auto",  # "auto" | "tree" | "tpu"
         hash_backend: str = "native",  # "native" | "tpu"
+        sampling: str = "uniform",  # "uniform" (reference parity) | "scene"
     ):
         self.db = db
         self.client = client
@@ -223,6 +225,7 @@ class HydrusVideoDeduplicator:
         self.should_skip_step_fn = should_skip_step_fn
         self.search_backend = search_backend
         self.hash_backend = hash_backend
+        self.sampling = sampling
 
     # -- stage 0: discovery ------------------------------------------------
 
@@ -353,7 +356,7 @@ class HydrusVideoDeduplicator:
                 unit="file",
                 colour="BLUE",
             ) as pbar:
-                hasher = FileHasher(self.client, self.job_count)
+                hasher = FileHasher(self.client, self.job_count, sampling=self.sampling)
                 success_count = 0
                 for video_hash in video_hashes:
                     if self.update_progress_callback:
@@ -408,7 +411,7 @@ class HydrusVideoDeduplicator:
         from .models.vpdq import TpuVideoHasher
 
         stats = PerceptualHashingStats()
-        hasher = TpuVideoHasher(decode_workers=self.job_count)
+        hasher = TpuVideoHasher(decode_workers=self.job_count, sampling=self.sampling)
         try:
             with tqdm(
                 total=len(video_hashes),

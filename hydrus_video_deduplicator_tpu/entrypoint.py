@@ -59,6 +59,7 @@ def main(
     debug: bool = False,
     search_backend: str = "auto",
     hash_backend: str = "native",
+    sampling: str = "uniform",
 ) -> int:
     """Run the deduplicator; returns the number of similar pairs found."""
     if api_url is None:
@@ -175,6 +176,7 @@ def main(
         custom_query=query,
         search_backend=search_backend,
         hash_backend=hash_backend,
+        sampling=sampling,
     )
     if debug:
         deduper.hydlog.setLevel(logging.DEBUG)
@@ -257,6 +259,14 @@ def _build_cli():
         default="native",
         type=click.Choice(["native", "tpu"]),
         help="Perceptual-hash engine: threaded native CPU or device-batched TPU.",
+    )
+    @click.option(
+        "--sampling",
+        default="uniform",
+        type=click.Choice(["uniform", "scene"]),
+        help="Frame sampling: 'uniform' (1 fps, reference parity) or 'scene'"
+        " (shot-boundary; fewer frames on static content — don't mix modes"
+        " in one database).",
     )
     @click.option(
         "--gui/--no-gui",

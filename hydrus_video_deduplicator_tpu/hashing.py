@@ -13,15 +13,18 @@ from .vpdq import VideoHasher, VpdqHash, matchHash
 from .vpdq import pdq_math as pm
 
 
-def compute_phash(video: Path | str | bytes, num_threads: int = 0) -> VpdqHash:
+def compute_phash(
+    video: Path | str | bytes, num_threads: int = 0, sampling: str = "uniform"
+) -> VpdqHash:
     """Perceptually hash a video (path or raw bytes) -> VpdqHash.
 
     Streams decoded 1 fps-sampled 512x512 frames through the threaded native
     hasher (bounded queue backpressure), mirroring the reference's
-    Vpdq.computeHash (vpdqpy.py:104-119).
+    Vpdq.computeHash (vpdqpy.py:104-119). sampling="scene" is the opt-in
+    shot-boundary mode (see decode.extract_frames).
     """
     hasher = VideoHasher(1, pm.FRAME_DIM, pm.FRAME_DIM, num_threads)
-    for frame in extract_frames(video):
+    for frame in extract_frames(video, sampling=sampling):
         hasher.hash_frame(frame.tobytes())
     return hasher.finish()
 

@@ -74,6 +74,7 @@ class TpuVideoHasher:
         batch_size: int | None = None,
         decode_workers: int | None = None,
         quality_min: int = pm.QUALITY_MIN_KEEP,
+        sampling: str = "uniform",
     ):
         """decode_workers follows the reference's job-count convention
         (entrypoint.py:79-82): n > 0 explicit, 0 -> default, negative ->
@@ -91,6 +92,7 @@ class TpuVideoHasher:
         self.batch_size = batch_size
         self.decode_workers = decode_workers
         self.quality_min = quality_min
+        self.sampling = sampling
         self._hash_batch = _hash_batch_fn()
 
     # -- decode stage -----------------------------------------------------
@@ -107,7 +109,7 @@ class TpuVideoHasher:
             idx, _key, video = item
             n = 0
             try:
-                for f in extract_frames(video):
+                for f in extract_frames(video, sampling=self.sampling):
                     out.put(("frame", idx, n, np.ascontiguousarray(f.transpose(2, 0, 1))))
                     n += 1
                 out.put(("done", idx, n, None))

@@ -123,3 +123,41 @@ def test_y4m_nonneutral_chroma():
     # left 2x2 block has high U (blue-ish), low V; right block inverted
     assert frame[0, 0, 2] > frame[0, 0, 0]  # b > r on the left
     assert frame[0, 3, 0] > frame[0, 3, 2]  # r > b on the right
+
+
+def test_scene_sampling():
+    """Scene mode keeps only visually-distinct 1 fps candidates; static
+    content collapses to one frame, scene changes are all kept."""
+    import io
+
+    w = h = 16
+    def y4m(frames, fps=1):
+        out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Cmono\n".encode()]
+        for f in frames:
+            out.append(b"FRAME\n" + bytes([f]) * (w * h))
+        return b"".join(out)
+
+    # 6 identical frames at 1 fps -> uniform keeps 6, scene keeps 1
+    static = y4m([120] * 6)
+    assert len(list(extract_frames(static))) == 6
+    assert len(list(extract_frames(static, sampling="scene"))) == 1
+
+    # alternating black/white scenes -> scene keeps all
+    cuts = y4m([0, 255, 0, 255])
+    assert len(list(extract_frames(cuts, sampling="scene"))) == 4
+
+    # bad mode
+    with pytest.raises(DecodeError):
+        list(extract_frames(static, sampling="nope"))
+
+
+def test_scene_sampling_corpus_subset():
+    """On real corpus videos, scene sampling yields a non-empty subset of
+    the uniform candidate count."""
+    from pathlib import Path
+
+    vid = Path(__file__).parents[1] / "corpus" / "videos" / "scene_a" / "S01_master.y4m"
+    uniform = list(extract_frames(vid))
+    scene = list(extract_frames(vid, sampling="scene"))
+    assert 1 <= len(scene) <= len(uniform)
+    assert np.array_equal(scene[0], uniform[0])  # first frame always kept
