@@ -124,3 +124,56 @@ def test_parameter_dataclasses(gui_module):
     assert params.custom_query == []
     conn = gui_module.HydrusRequestParameters(api_url="http://x", api_key="k")
     assert conn.file_service_keys == []
+
+
+def test_worker_full_flow_against_fake_hydrus(gui_module, tmp_path):
+    """End-to-end GUI worker logic (connect -> open db -> dedupe ->
+    maintenance ops) with the fake Hydrus server, no real Qt needed."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parents[1].parent / "tests"))
+    from tests.fake_hydrus import DEFAULT_ACCESS_KEY, FakeHydrus, corpus_file_store
+
+    server = FakeHydrus(corpus_file_store())
+    server.start()
+    try:
+        worker = gui_module.Worker()
+        events = {"connect": [], "db": [], "dedupe": [], "maint": [], "progress": []}
+        worker.connect_complete.connect(lambda ok, msg: events["connect"].append((ok, msg)))
+        worker.init_db_complete.connect(lambda ok, msg: events["db"].append((ok, msg)))
+        worker.dedupe_complete.connect(
+            lambda ok, msg, pairs: events["dedupe"].append((ok, msg, pairs))
+        )
+        worker.maintenance_complete.connect(lambda ok, msg: events["maint"].append((ok, msg)))
+        worker.dedupe_progress.connect(events["progress"].append)
+
+        # bad key first -> failure surfaced via signal, not an exception
+        worker.connect_to_hydrus(
+            gui_module.HydrusRequestParameters(api_url=server.url, api_key="0" * 64)
+        )
+        assert events["connect"][-1][0] is False
+
+        worker.connect_to_hydrus(
+            gui_module.HydrusRequestParameters(
+                api_url=server.url, api_key=DEFAULT_ACCESS_KEY
+            )
+        )
+        assert events["connect"][-1][0] is True
+
+        worker.init_db_connection(tmp_path / "guidb")
+        assert events["db"][-1][0] is True
+
+        worker.run_dedupe(gui_module.DedupeParameters(threshold=50.0))
+        ok, msg, pairs = events["dedupe"][-1]
+        assert ok and pairs == 9
+        assert any("Hashing files" in p for p in events["progress"])
+        assert any("Done" in p for p in events["progress"])
+
+        for op in ("vacuum", "clear_search_cache", "reset_potentials", "clear_search_tree"):
+            worker.run_maintenance_op(op)
+            assert events["maint"][-1][0] is True, op
+        worker.run_maintenance_op("bogus")
+        assert events["maint"][-1][0] is False
+    finally:
+        server.stop()
