@@ -47,46 +47,58 @@ TOL = pm.DEFAULT_DISTANCE_TOLERANCE
 MATCH_DOT = BITS - 2 * TOL  # dot >= this  <=>  hamming <= TOL
 
 #: videos per grid block (rows x cols). Frame blocks are RB*pa x CB*pb.
-#: Sized so the int32 dot accumulator (RB*pa x CB*pb x 4 bytes, the VMEM
-#: constraint) stays ~8 MB at pa*pb = 64; the kernel is per-grid-step
-#: overhead bound (~35 us/step), so bigger blocks = proportionally faster
-#: (measured 1.56x going 64 -> 128 row videos).
-RB = 128
+#: Sized so the int32 dot accumulator (RB*pa x CB*pb/N_SPLIT x 4 bytes,
+#: the VMEM constraint) stays small; the kernel is bound by the main dot's
+#: issue rate, and splitting the column dimension into N_SPLIT sequential
+#: chunks overlaps the dots (measured 1.75x for 4 chunks at this shape) —
+#: column chunks hold whole videos, so each chunk's reduction pipeline is
+#: independent and writes its own output column slice.
+RB = 256
 CB = 256
+N_SPLIT = 4
 
 
 def _make_kernel(pa: int, pb: int):
+    cbq = CB // N_SPLIT  # videos per column chunk (chunks hold whole videos)
+
     def kernel(a_ref, b_ref, oa_ref, ob_ref, fa_ref, fb_ref, out_ref):
         a = a_ref[:]  # [RB*pa, 256] int8 (±1 rows; zero rows = padding)
-        b = b_ref[:]  # [CB*pb, 256] int8
         onehot_a = oa_ref[:]  # [RB*pa, RB] int8
-        onehot_b = ob_ref[:]  # [CB*pb, CB] int8
-        fa = fa_ref[:]  # [RB, 1] int32 true frame counts
-        fb = fb_ref[:]  # [CB, 1] int32
+        fa_div = jnp.maximum(fa_ref[:], 1)  # [RB, 1]
 
-        dot = jax.lax.dot_general(
-            a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-        )  # [RBf, CBf]
-        m8 = (dot >= MATCH_DOT).astype(jnp.int8)
+        # the chunk-local one-hot is the same for every chunk (frame i of a
+        # chunk belongs to local video i // pb)
+        onehot_b = ob_ref[:]  # [cbq*pb, cbq] int8
 
-        cnt_b = jax.lax.dot_general(  # [RBf, CB]
-            m8, onehot_b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-        )
-        hits_b = (cnt_b > 0).astype(jnp.int8)
-        ma = jax.lax.dot_general(  # [RB, CB]
-            onehot_a, hits_b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
-        )
-        cnt_a = jax.lax.dot_general(  # [RB, CBf]
-            onehot_a, m8, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
-        )
-        hits_a = (cnt_a > 0).astype(jnp.int8)
-        mb = jax.lax.dot_general(  # [RB, CB]
-            hits_a, onehot_b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-        )
+        for s in range(N_SPLIT):
+            b = b_ref[s * cbq * pb : (s + 1) * cbq * pb, :]  # [cbq*pb, 256]
+            fb = fb_ref[s * cbq : (s + 1) * cbq, :]  # [cbq, 1]
 
-        fa_div = jnp.maximum(fa, 1)  # [RB, 1]
-        fb_div = jnp.maximum(fb.T, 1)  # [1, CB] (int32 transpose lowers fine)
-        out_ref[:] = jnp.minimum((100 * ma) // fa_div, (100 * mb) // fb_div)
+            dot = jax.lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+            )  # [RBf, cbq*pb]
+            m8 = (dot >= MATCH_DOT).astype(jnp.int8)
+
+            cnt_b = jax.lax.dot_general(  # [RBf, cbq]
+                m8, onehot_b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+            hits_b = (cnt_b > 0).astype(jnp.int8)
+            ma = jax.lax.dot_general(  # [RB, cbq]
+                onehot_a, hits_b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            cnt_a = jax.lax.dot_general(  # [RB, cbq*pb]
+                onehot_a, m8, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+            hits_a = (cnt_a > 0).astype(jnp.int8)
+            mb = jax.lax.dot_general(  # [RB, cbq]
+                hits_a, onehot_b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+
+            fb_div = jnp.maximum(fb.T, 1)  # [1, cbq]
+            sim = jnp.minimum((100 * ma) // fa_div, (100 * mb) // fb_div)
+            out_ref[:, s * cbq : (s + 1) * cbq] = sim
 
     return kernel
 
@@ -114,8 +126,9 @@ def similarity_block_pallas(
     # fastest, so the LARGE column block (j) only re-DMAs when the outer
     # index changes while the small row block streams.
     grid = (cb // CB, ra // RB)
+    cbq = CB // N_SPLIT
     onehot_a = jnp.asarray(_onehot(RB * pa, RB, pa))
-    onehot_b = jnp.asarray(_onehot(CB * pb, CB, pb))
+    onehot_b = jnp.asarray(_onehot(cbq * pb, cbq, pb))  # chunk-local
 
     grid_spec = pl.GridSpec(
         grid=grid,
@@ -123,7 +136,7 @@ def similarity_block_pallas(
             pl.BlockSpec((RB * pa, BITS), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((CB * pb, BITS), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((RB * pa, RB), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CB * pb, CB), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cbq * pb, cbq), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((RB, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((CB, 1), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
         ],
