@@ -116,3 +116,38 @@ def test_bad_api_key(fake_server, tmp_path):
 def test_threshold_validation(fake_server, tmp_path):
     with pytest.raises(SystemExit):
         _run_main(fake_server, tmp_path / uuid.uuid4().hex, threshold=101.0)
+
+
+@pytest.mark.parametrize("backend", ["tree", "tpu"])
+def test_incremental_new_file_pairs_with_old(tmp_path, backend):
+    """Run 2 adds a new encoding of scene_a: it must pair against the three
+    already-searched scene_a files (cross new-vs-old pairs) on both engines."""
+    store = corpus_file_store()
+    # hold one scene_a encoding back for the second run
+    from pathlib import Path
+
+    held_path = (
+        Path(__file__).parents[1] / "corpus" / "videos" / "scene_a" / "S01_gif.gif"
+    )
+    held = held_path.read_bytes()
+    from ..fake_hydrus import sha256_hex
+
+    held_hash = sha256_hex(held)
+    del store[held_hash]
+
+    server = FakeHydrus(store)
+    server.start()
+    try:
+        db_dir = tmp_path / uuid.uuid4().hex
+        first = _run_main(server, db_dir, search_backend=backend)
+        assert first == EXPECTED_PAIRS - 3  # C(3,2)+C(3,2) = 6
+        # the held file arrives
+        server.files[held_hash] = held
+        second = _run_main(server, db_dir, search_backend=backend)
+        # reference counting: 3 new-vs-old pairs found once each -> 3 // 2 = 1
+        # (the reference's integer halving undercounts cross pairs; parity)
+        assert second == 3 // 2
+        # but Hydrus has ALL pairs marked
+        assert len(server.relationships) == EXPECTED_PAIRS
+    finally:
+        server.stop()
