@@ -1,11 +1,24 @@
-"""Decode backends: OpenCV, Pillow (animated images), YUV4MPEG2.
+"""Decode backends: native libav (default), OpenCV, Pillow, YUV4MPEG2.
 
 Each backend's ``decode(data, src_path)`` yields ``(rgb_frame, average_fps)``
-tuples where rgb_frame is [H, W, 3] uint8 at native resolution; average_fps
-is constant per stream (re-yielded for convenience; may be None when
-unknown). Bad frames mid-stream are skipped (the reference tolerates
-InvalidDataError frames, vpdqpy.py:99-101); streams with no frames raise
-DecodeError at the caller.
+tuples. For most backends rgb_frame is [H, W, 3] uint8 at native resolution
+and the caller samples + rescales; the libav backend instead emits frames
+already sampled and rescaled to 512x512 (``emits_sampled_512 = True``) —
+exactly the reference's PyAV pipeline (vpdqpy.py:59-101), since it calls the
+same libavformat/libavcodec/libswscale the reference's PyAV wraps (see
+native/decode.cpp for the semantics contract). Bad frames mid-stream are
+tolerated (vpdqpy.py:99-101); streams with no frames raise DecodeError at
+the caller.
+
+Backend selection (``HVD_DECODE_BACKEND`` env var or the ``decode_backend``
+argument):
+  - ``auto`` (default): libav for everything it can open — the reference
+    routes every format through PyAV/ffmpeg — with two exceptions: animated
+    webp goes to Pillow (libavcodec cannot decode webp animation), and
+    anything libav fails to open falls back to the legacy content-sniffed
+    chain.
+  - ``libav``: libav only, no fallback.
+  - ``legacy``: the round-1 content-sniffed chain (y4m/Pillow/OpenCV).
 """
 
 from __future__ import annotations
@@ -23,12 +36,51 @@ from .frames import DecodeError
 
 log = logging.getLogger("decode")
 
+DECODE_BACKEND_ENV = "HVD_DECODE_BACKEND"
+DECODE_BACKEND_MODES = ("auto", "libav", "legacy")
+
 
 class Backend:
     name = "base"
+    #: True when decode() yields frames already sampled (1 fps rule) and
+    #: rescaled to [512, 512, 3]; the caller skips its own sample/rescale.
+    emits_sampled_512 = False
 
     def decode(self, data: bytes, src_path: Path | None) -> Iterator[tuple[np.ndarray, float | None]]:
         raise NotImplementedError
+
+
+class LibavBackend(Backend):
+    """Reference decode path: libavformat/avcodec/swscale via native/decode.cpp.
+
+    Emits sampled, SWS_POINT-rescaled 512x512 rgb24 frames — the same bytes
+    PyAV's frame.reformat produces in the reference (vpdqpy.py:86-96).
+    """
+
+    name = "libav"
+    emits_sampled_512 = True
+
+    def decode(self, data, src_path):
+        from ..native import decode as nd
+
+        try:
+            dec = nd.LibavDecoder(data)
+        except nd.LibavDecodeError as exc:
+            raise DecodeError(f"libav could not open stream: {exc}") from exc
+        with dec:
+            rate = dec.average_rate
+            fps = float(rate) if rate is not None else None
+            try:
+                for frame in dec:
+                    yield frame, fps
+            except nd.LibavDecodeError as exc:
+                raise DecodeError(f"libav decode error: {exc}") from exc
+
+
+def libav_available() -> bool:
+    from ..native import decode as nd
+
+    return nd.is_available()
 
 
 class PillowBackend(Backend):
@@ -190,12 +242,29 @@ class OpenCVBackend(Backend):
 _PILLOW_MAGICS = (b"GIF87a", b"GIF89a", b"\x89PNG")
 
 
-def choose_backend(data: bytes) -> Backend:
-    """Pick a decode backend by magic bytes."""
+def _is_webp(data: bytes) -> bool:
+    return data[:4] == b"RIFF" and data[8:12] == b"WEBP"
+
+
+def choose_legacy_backend(data: bytes) -> Backend:
+    """The round-1 content-sniffed chain (no libav)."""
     if data.startswith(b"YUV4MPEG2"):
         return Y4MBackend()
     if data.startswith(_PILLOW_MAGICS):
         return PillowBackend()
-    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+    if _is_webp(data):
         return PillowBackend()
     return OpenCVBackend()
+
+
+def choose_backend(data: bytes, mode: str | None = None) -> Backend:
+    """Pick a decode backend (see module docstring for the mode semantics)."""
+    if mode is None:
+        mode = os.environ.get(DECODE_BACKEND_ENV, "auto") or "auto"
+    if mode not in DECODE_BACKEND_MODES:
+        raise DecodeError(f"unknown decode backend mode: {mode!r}")
+    if mode == "libav":
+        return LibavBackend()
+    if mode == "auto" and libav_available() and not _is_webp(data):
+        return LibavBackend()
+    return choose_legacy_backend(data)

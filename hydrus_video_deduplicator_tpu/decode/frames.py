@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 from fractions import Fraction
 from pathlib import Path
@@ -71,12 +72,15 @@ def extract_frames(
     video: bytes | str | Path,
     sampling: str = "uniform",
     scene_threshold: float = SCENE_DIFF_THRESHOLD,
+    decode_backend: str | None = None,
 ) -> Iterator[np.ndarray]:
     """Decode + sample + rescale: yields [512, 512, 3] uint8 rgb frames.
 
-    Accepts raw bytes or a filesystem path. Backend chosen by content
-    sniffing (magic bytes), mirroring the reference's "bytes in, frames out"
-    contract (vpdqpy.py:59, 104-119).
+    Accepts raw bytes or a filesystem path, mirroring the reference's
+    "bytes in, frames out" contract (vpdqpy.py:59, 104-119). By default the
+    native libav backend decodes, samples, and rescales exactly like the
+    reference's PyAV path; other formats/environments fall back to the
+    legacy content-sniffed chain (see backends module docstring).
 
     sampling:
       - "uniform" (default, reference parity): ~1 frame/sec via the
@@ -86,6 +90,9 @@ def extract_frames(
         decimated grid > scene_threshold). The first candidate is always
         kept, so every video that hashes under "uniform" also hashes here.
         Opt-in (changes hashes' frame sets; don't mix modes in one DB).
+
+    decode_backend: "auto" | "libav" | "legacy" (default: HVD_DECODE_BACKEND
+    env var, else "auto").
     """
     if sampling not in ("uniform", "scene"):
         raise DecodeError(f"unknown sampling mode: {sampling!r}")
@@ -103,31 +110,63 @@ def extract_frames(
     else:
         raise DecodeError(f"unsupported video source type: {type(video)!r}")
 
-    backend = backends.choose_backend(data)
+    backend = backends.choose_backend(data, decode_backend)
+    stream = _sampled_512_stream(backend, data, src_path)
+    if backend.emits_sampled_512:
+        # "auto" falls back to the legacy chain when libav cannot open the
+        # stream at all (e.g. a format only Pillow handles).
+        mode = decode_backend or os.environ.get(backends.DECODE_BACKEND_ENV, "auto") or "auto"
+        try:
+            first = next(stream, None)
+        except DecodeError:
+            if mode != "auto":
+                raise
+            backend = backends.choose_legacy_backend(data)
+            stream = _sampled_512_stream(backend, data, src_path)
+            first = next(stream, None)
+        stream = _chain_first(first, stream)
+
+    last_sig: np.ndarray | None = None
+    n = 0
+    for frame in stream:
+        if sampling == "scene":
+            sig = _scene_signature(frame)
+            if last_sig is not None:
+                diff = float(np.abs(sig - last_sig).mean())
+                if diff <= scene_threshold:
+                    continue
+            last_sig = sig
+        n += 1
+        yield frame
+    if n == 0:
+        # the first 1 fps candidate is always kept in scene mode, so n == 0
+        # means the stream produced no frames at all in either mode
+        raise DecodeError("no decodable frames found")
+
+
+def _chain_first(first, rest: Iterator[np.ndarray]) -> Iterator[np.ndarray]:
+    if first is not None:
+        yield first
+    yield from rest
+
+
+def _sampled_512_stream(backend, data: bytes, src_path: Path | None) -> Iterator[np.ndarray]:
+    """Uniform 1 fps candidates at 512x512 from any backend."""
+    if backend.emits_sampled_512:
+        for frame, _fps in backend.decode(data, src_path):
+            yield frame
+        return
     step_known = False
     step = 1
     index = 0
-    last_sig: np.ndarray | None = None
+    got_any = False
     for raw_frame, fps in backend.decode(data, src_path):
+        got_any = True
         if not step_known:
             step = effective_sample_step(fps)
             step_known = True
         if index % step == 0:
-            frame = resize_nearest_512(raw_frame)
-            if sampling == "scene":
-                sig = _scene_signature(frame)
-                if last_sig is not None:
-                    diff = float(np.abs(sig - last_sig).mean())
-                    if diff <= scene_threshold:
-                        index += 1
-                        continue
-                last_sig = sig
-            yield frame
+            yield resize_nearest_512(raw_frame)
         index += 1
-    if index == 0:
+    if not got_any:
         raise DecodeError("no decodable frames found")
-
-
-def frames_for_hashing(video: bytes | str | Path) -> Iterator[np.ndarray]:
-    """Alias for extract_frames (the hashing pipeline entry)."""
-    return extract_frames(video)

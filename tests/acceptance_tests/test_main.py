@@ -38,10 +38,12 @@ def _run_main(server, db_dir, **kwargs):
     )
 
 
-# The corpus has two similarity groups: scene_a (4 encodings) and scene_b
-# (3 encodings) -> C(4,2) + C(3,2) = 6 + 3 = 9 similar pairs at the default
-# 50.0 threshold (strange/ videos match nothing).
-EXPECTED_PAIRS = 9
+# The corpus has two similarity groups: scene_a (6 encodings incl. h264/mp4
+# and vp9/webm) and scene_b (5 encodings incl. h264/mp4 and mpeg4/avi) ->
+# C(6,2) + C(5,2) = 15 + 10 = 25 similar pairs at the default 50.0 threshold
+# (strange/ videos match nothing).
+EXPECTED_PAIRS = 25
+SCENE_A_ENCODINGS = 6
 
 
 @pytest.mark.parametrize("backend", ["tree", "tpu"])
@@ -139,14 +141,16 @@ def test_incremental_new_file_pairs_with_old(tmp_path, backend):
     server.start()
     try:
         db_dir = tmp_path / uuid.uuid4().hex
+        new_vs_old = SCENE_A_ENCODINGS - 1  # pairs the held-back file adds
         first = _run_main(server, db_dir, search_backend=backend)
-        assert first == EXPECTED_PAIRS - 3  # C(3,2)+C(3,2) = 6
+        assert first == EXPECTED_PAIRS - new_vs_old
         # the held file arrives
         server.files[held_hash] = held
         second = _run_main(server, db_dir, search_backend=backend)
-        # reference counting: 3 new-vs-old pairs found once each -> 3 // 2 = 1
-        # (the reference's integer halving undercounts cross pairs; parity)
-        assert second == 3 // 2
+        # reference counting: new-vs-old pairs are found once each, then
+        # integer-halved (the reference's halving undercounts cross pairs;
+        # parity with dedup.py:502)
+        assert second == new_vs_old // 2
         # but Hydrus has ALL pairs marked
         assert len(server.relationships) == EXPECTED_PAIRS
     finally:

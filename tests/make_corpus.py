@@ -22,6 +22,8 @@ from pathlib import Path
 
 import numpy as np
 
+sys.path.insert(0, str(Path(__file__).parents[1]))
+
 CORPUS = Path(__file__).parent / "corpus"
 VIDEOS = CORPUS / "videos"
 HASHES = CORPUS / "hashes"
@@ -114,6 +116,15 @@ def write_avi_mjpg(path: Path, frames: list[np.ndarray], fps=5) -> bool:
     return True
 
 
+def write_native(path: Path, codec: str, frames: list[np.ndarray], fps=5, pts_ms=None) -> None:
+    """Real inter-frame codecs (h264, vp9, mpeg4) via the native libav
+    encoder — the reference's testdb uses real codec media (Big Buck Bunny /
+    Sintel h264); the synthetic corpus must exercise the same decode path."""
+    from hydrus_video_deduplicator_tpu.native import decode as nd
+
+    nd.encode_video(path, codec, frames, fps, 1, pts_ms=pts_ms)
+
+
 def resize(frames: list[np.ndarray], h: int, w: int) -> list[np.ndarray]:
     out = []
     for f in frames:
@@ -136,12 +147,16 @@ def build(overwrite: bool) -> None:
     write_gif(VIDEOS / "scene_a" / "S01_gif.gif", a, fps)
     write_avi_mjpg(VIDEOS / "scene_a" / "S01_mjpg.avi", a, fps)
     write_y4m(VIDEOS / "scene_a" / "S01_small.y4m", resize(a, 72, 96), fps)
+    write_native(VIDEOS / "scene_a" / "S01_h264.mp4", "libx264", a, fps)
+    write_native(VIDEOS / "scene_a" / "S01_vp9.webm", "libvpx-vp9", a, fps)
 
     # Group S02
     b = scene_frames(202, n, 120, 160)
     write_y4m(VIDEOS / "scene_b" / "S02_master.y4m", b, fps)
     write_gif(VIDEOS / "scene_b" / "S02_gif.gif", b, fps)
     write_avi_mjpg(VIDEOS / "scene_b" / "S02_mjpg.avi", b, fps)
+    write_native(VIDEOS / "scene_b" / "S02_h264.mp4", "libx264", b, fps)
+    write_native(VIDEOS / "scene_b" / "S02_mpeg4.avi", "mpeg4", b, fps)
 
     # Strange corpus: must hash (possibly to empty) without crashing.
     strange = VIDEOS / "strange"
@@ -161,9 +176,15 @@ def build(overwrite: bool) -> None:
         for fr in mono_frames:
             f.write(b"FRAME\n")
             f.write(fr[:, :, 1].tobytes())
+    # variable frame rate: no avg_frame_rate -> every frame hashed
+    # (reference vpdqpy.py:73-77 None-fps branch, on a real container)
+    vfr = scene_frames(308, 6, 64, 64)
+    write_native(
+        strange / "vfr_vp9.webm", "libvpx-vp9", vfr,
+        pts_ms=[0, 120, 500, 900, 2000, 2400],
+    )
 
     # Golden hashes from the native oracle.
-    sys.path.insert(0, str(Path(__file__).parents[1]))
     from hydrus_video_deduplicator_tpu.hashing import compute_phash
 
     for vid in sorted(VIDEOS.rglob("*")):

@@ -45,12 +45,33 @@ def test_resize_nearest_center_sampling():
     assert resize_nearest_512(big).shape == (512, 512, 3)
 
 
-def test_backend_sniffing():
-    assert isinstance(choose_backend(b"YUV4MPEG2 W2 H2\n"), Y4MBackend)
-    assert isinstance(choose_backend(b"GIF89a" + b"\0" * 10), PillowBackend)
-    assert isinstance(choose_backend(b"\x89PNG\r\n" + b"\0" * 10), PillowBackend)
+def test_backend_sniffing_legacy():
+    from hydrus_video_deduplicator_tpu.decode.backends import choose_legacy_backend
+
+    assert isinstance(choose_legacy_backend(b"YUV4MPEG2 W2 H2\n"), Y4MBackend)
+    assert isinstance(choose_legacy_backend(b"GIF89a" + b"\0" * 10), PillowBackend)
+    assert isinstance(choose_legacy_backend(b"\x89PNG\r\n" + b"\0" * 10), PillowBackend)
+    assert isinstance(choose_legacy_backend(b"RIFF\0\0\0\0WEBP"), PillowBackend)
+    assert isinstance(choose_legacy_backend(b"\x00\x00\x00 ftypisom"), OpenCVBackend)
+    assert isinstance(choose_backend(b"YUV4MPEG2 W2 H2\n", mode="legacy"), Y4MBackend)
+
+
+def test_backend_selection_auto():
+    from hydrus_video_deduplicator_tpu.decode.backends import (
+        LibavBackend,
+        libav_available,
+    )
+
+    if not libav_available():
+        pytest.skip("native libav decode not built")
+    # the reference routes everything through PyAV/ffmpeg; auto mirrors that
+    assert isinstance(choose_backend(b"YUV4MPEG2 W2 H2\n"), LibavBackend)
+    assert isinstance(choose_backend(b"GIF89a" + b"\0" * 10), LibavBackend)
+    assert isinstance(choose_backend(b"\x00\x00\x00 ftypisom"), LibavBackend)
+    # animated webp is the documented exception (libavcodec can't decode it)
     assert isinstance(choose_backend(b"RIFF\0\0\0\0WEBP"), PillowBackend)
-    assert isinstance(choose_backend(b"\x00\x00\x00 ftypisom"), OpenCVBackend)
+    with pytest.raises(DecodeError):
+        choose_backend(b"x", mode="nope")
 
 
 def test_y4m_roundtrip_mono():
