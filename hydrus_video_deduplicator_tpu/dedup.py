@@ -227,6 +227,15 @@ class HydrusVideoDeduplicator:
         self.hash_backend = hash_backend
         self.sampling = sampling
 
+    @staticmethod
+    def _device_mesh():
+        """1-D mesh over all devices when more than one is visible, else
+        None. Both TPU paths (hashing, search) shard their leading batch
+        axis over this mesh; single-chip behavior is unchanged."""
+        from .parallel.mesh import build_mesh, device_count
+
+        return build_mesh() if device_count() > 1 else None
+
     # -- stage 0: discovery ------------------------------------------------
 
     def get_search_tags(self, custom_query: "Sequence[str] | None") -> list[str]:
@@ -411,7 +420,11 @@ class HydrusVideoDeduplicator:
         from .models.vpdq import TpuVideoHasher
 
         stats = PerceptualHashingStats()
-        hasher = TpuVideoHasher(decode_workers=self.job_count, sampling=self.sampling)
+        hasher = TpuVideoHasher(
+            decode_workers=self.job_count,
+            sampling=self.sampling,
+            mesh=self._device_mesh(),
+        )
         try:
             with tqdm(
                 total=len(video_hashes),
@@ -629,7 +642,7 @@ class HydrusVideoDeduplicator:
             self.update_progress_callback(
                 SearchingForDuplicatesProgress(complete=0, total=len(row_ids))
             )
-        engine = TpuSearchEngine()
+        engine = TpuSearchEngine(mesh=self._device_mesh())
         hits = engine.find_pairs(row_phashes, all_phashes, min_sim)
 
         # ``hits`` enumerates exactly the same (searcher, found) events as the

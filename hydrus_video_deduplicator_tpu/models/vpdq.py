@@ -49,17 +49,41 @@ class VideoResult:
     error: Exception | None = None
 
 
-def _hash_batch_fn():
-    """Pick the device hash function (pallas on TPU, XLA elsewhere)."""
+def _hash_batch_fn(mesh=None):
+    """Pick the device hash function (pallas on TPU, XLA elsewhere).
+
+    With a mesh, the batch axis is sharded over the devices via shard_map
+    (each chip hashes its slab — pure data parallelism, no collectives),
+    mirroring __graft_entry__.dryrun_multichip's stage 1.
+    """
     import jax
 
     if jax.devices()[0].platform == "tpu":
         from ..ops.pdq_pallas import pdq_hash_batch_pallas_jit
 
-        return pdq_hash_batch_pallas_jit
-    from .pdq import pdq_hash_batch_jit
+        base = pdq_hash_batch_pallas_jit
+    else:
+        from .pdq import pdq_hash_batch_jit
 
-    return lambda planar: pdq_hash_batch_jit(planar.transpose(0, 2, 3, 1))
+        def base(planar):
+            return pdq_hash_batch_jit(planar.transpose(0, 2, 3, 1))
+
+    if mesh is None:
+        return base
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+    fn = shard_map(
+        base, mesh=mesh, in_specs=P(axis), out_specs=(P(axis), P(axis)), check_rep=False
+    )
+    sharding = NamedSharding(mesh, P(axis))
+
+    def sharded(planar):
+        return fn(jax.device_put(np.ascontiguousarray(planar), sharding))
+
+    return sharded
 
 
 class TpuVideoHasher:
@@ -75,10 +99,15 @@ class TpuVideoHasher:
         decode_workers: int | None = None,
         quality_min: int = pm.QUALITY_MIN_KEEP,
         sampling: str = "uniform",
+        mesh=None,
     ):
         """decode_workers follows the reference's job-count convention
         (entrypoint.py:79-82): n > 0 explicit, 0 -> default, negative ->
-        cores + 1 + n (so -1 = all cores, -2 = all but one)."""
+        cores + 1 + n (so -1 = all cores, -2 = all but one).
+
+        mesh: optional 1-D jax.sharding.Mesh; frame batches are sharded
+        over its devices (batch_size is rounded up to a multiple of the
+        mesh size)."""
         if decode_workers is None or decode_workers == 0:
             decode_workers = DECODE_WORKERS
         elif decode_workers < 0:
@@ -89,11 +118,15 @@ class TpuVideoHasher:
             import jax
 
             batch_size = BATCH if jax.devices()[0].platform == "tpu" else BATCH_CPU
+        if mesh is not None:
+            n = mesh.devices.size
+            batch_size = ((batch_size + n - 1) // n) * n
         self.batch_size = batch_size
         self.decode_workers = decode_workers
         self.quality_min = quality_min
         self.sampling = sampling
-        self._hash_batch = _hash_batch_fn()
+        self.mesh = mesh
+        self._hash_batch = _hash_batch_fn(mesh)
 
     # -- decode stage -----------------------------------------------------
 

@@ -154,6 +154,31 @@ def similarity_block_pallas(
     )(a_pm1, b_pm1, onehot_a, onehot_b, fa, fb)
 
 
+@functools.partial(jax.jit, static_argnames=("pa", "pb"))
+def similarity_block_xla(
+    a_pm1: jnp.ndarray,  # [Ra*pa, 256] int8 (zero rows for pad)
+    fa: jnp.ndarray,  # [Ra, 1] int32
+    b_pm1: jnp.ndarray,  # [Cb*pb, 256] int8
+    fb: jnp.ndarray,  # [Cb, 1] int32
+    pa: int,
+    pb: int,
+) -> jnp.ndarray:
+    """Plain-XLA twin of similarity_block_pallas: identical math and
+    signature, runs on any backend. Serves as the CPU oracle for the kernel
+    and as the mock target when testing the mesh+Pallas routing off-TPU."""
+    ra = fa.shape[0]
+    cb = fb.shape[0]
+    dot = jax.lax.dot_general(
+        a_pm1, b_pm1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    m = (dot >= MATCH_DOT).reshape(ra, pa, cb, pb)
+    ma = m.any(axis=3).sum(axis=1, dtype=jnp.int32)  # [Ra, Cb]
+    mb = m.any(axis=1).sum(axis=2, dtype=jnp.int32)  # [Ra, Cb]
+    fa_div = jnp.maximum(fa, 1)  # [Ra, 1]
+    fb_div = jnp.maximum(fb.T, 1)  # [1, Cb]
+    return jnp.minimum((100 * ma) // fa_div, (100 * mb) // fb_div)
+
+
 def unpack_pm1_host(packed: np.ndarray, counts: np.ndarray | None = None) -> np.ndarray:
     """[V, P, 8] uint32 -> [V*P, 256] int8 ±1; padded frames become zero rows.
 

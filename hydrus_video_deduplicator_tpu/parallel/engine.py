@@ -157,19 +157,6 @@ class TpuSearchEngine:
     is used. Results are identical.
     """
 
-    def __init__(
-        self, tile_rows: int = TILE_ROWS, tile_cols: int = TILE_COLS, mesh=None
-    ):
-        """mesh: optional jax.sharding.Mesh (1-D). When given, XLA tiles are
-        row-sharded over the mesh with shard_map (each device computes its
-        slab of the similarity matrix against replicated columns)."""
-        self.tile_rows = tile_rows
-        self.tile_cols = tile_cols
-        self.mesh = mesh
-        if mesh is not None:
-            n = mesh.devices.size
-            self.tile_rows = ((tile_rows + n - 1) // n) * n
-
     #: use the fused Pallas kernel only when a bucket pair has at least this
     #: many frame comparisons — below it the XLA tile path finishes faster
     #: than the kernel's first-compile cost would ever amortize
@@ -178,12 +165,36 @@ class TpuSearchEngine:
     #: (RB*pa x CB*pb int32 — pa*pb <= 64 keeps it at 4 MB)
     PALLAS_MAX_PA_PB = 64
 
-    @staticmethod
-    def _use_pallas(work: int, pa: int, pb: int) -> bool:
+    def __init__(
+        self,
+        tile_rows: int = TILE_ROWS,
+        tile_cols: int = TILE_COLS,
+        mesh=None,
+        pallas_min_work: int | None = None,
+    ):
+        """mesh: optional jax.sharding.Mesh (1-D). When given, tiles are
+        row-sharded over the mesh with shard_map (each device computes its
+        slab of the similarity matrix against replicated columns) on both
+        the XLA and the fused-Pallas routes.
+
+        pallas_min_work: override PALLAS_MIN_FRAME_COMPARISONS (frame
+        comparisons per bucket pair below which the XLA tile path is used);
+        lets tests drive the production kernel route with small data."""
+        self.tile_rows = tile_rows
+        self.tile_cols = tile_cols
+        self.mesh = mesh
+        self.pallas_min_work = (
+            self.PALLAS_MIN_FRAME_COMPARISONS if pallas_min_work is None else pallas_min_work
+        )
+        if mesh is not None:
+            n = mesh.devices.size
+            self.tile_rows = ((tile_rows + n - 1) // n) * n
+
+    def _use_pallas(self, work: int, pa: int, pb: int) -> bool:
         return (
             jax.devices()[0].platform == "tpu"
-            and work >= TpuSearchEngine.PALLAS_MIN_FRAME_COMPARISONS
-            and pa * pb <= TpuSearchEngine.PALLAS_MAX_PA_PB
+            and work >= self.pallas_min_work
+            and pa * pb <= self.PALLAS_MAX_PA_PB
         )
 
     def find_pairs(
@@ -294,8 +305,11 @@ class TpuSearchEngine:
         from ..ops import similarity_pallas as sp
 
         out = []
-        # tile sizes aligned to the kernel's video-block granularity
-        tr = max(self.tile_rows, sp.RB) // sp.RB * sp.RB
+        # tile sizes aligned to the kernel's video-block granularity; with a
+        # mesh, row tiles are additionally multiples of (devices x RB) so
+        # each device's row slab is whole kernel blocks
+        row_quantum = sp.RB * (self.mesh.devices.size if self.mesh is not None else 1)
+        tr = max(self.tile_rows, row_quantum) // row_quantum * row_quantum
         tc = max(self.tile_cols, sp.CB) // sp.CB * sp.CB
         # ±1/0 rows once per bucket side (padding/empty frames are zero rows)
         r_pm1 = sp.unpack_pm1_host(r_frames, r_counts)
@@ -308,9 +322,16 @@ class TpuSearchEngine:
                 cj_n = min(j0 + tc, len(c_idx)) - j0
                 cf = _pad_rows(c_pm1[j0 * pb : (j0 + cj_n) * pb], tc * pb)
                 cc = _pad_rows(c_counts[j0 : j0 + cj_n], tc)[:, None]
-                sim = np.asarray(
-                    sp.similarity_block_pallas(rf, rc, cf, cc, pa, pb)
-                )
+                if self.mesh is not None:
+                    sim = np.asarray(
+                        sharded_similarity_block_pallas(
+                            self.mesh, rf, rc, cf, cc, pa, pb
+                        )
+                    )
+                else:
+                    sim = np.asarray(
+                        sp.similarity_block_pallas(rf, rc, cf, cc, pa, pb)
+                    )
                 hits = np.argwhere(sim >= min_sim)
                 for a, b in hits:
                     if a < ri_n and b < cj_n:
@@ -350,3 +371,37 @@ def sharded_tile_similarity(mesh, rows_packed, rows_counts, cols_packed, cols_co
     cols_packed = jax.device_put(cols_packed, NamedSharding(mesh, P()))
     cols_counts = jax.device_put(cols_counts, NamedSharding(mesh, P()))
     return fn(rows_packed, rows_counts, cols_packed, cols_counts)
+
+
+def sharded_similarity_block_pallas(mesh, a_pm1, fa, b_pm1, fb, pa, pb):
+    """Row-sharded fused-kernel block over a 1-D mesh.
+
+    a_pm1 [Ra*pa, 256] / fa [Ra, 1] are sharded on the leading axis (each
+    device's slab is a whole number of kernel row blocks — the caller sizes
+    Ra as a multiple of devices x RB); b_pm1/fb are replicated. Each device
+    runs the fused kernel on its slab; the [Ra, Cb] result is row-sharded
+    the same way.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops import similarity_pallas as sp
+
+    axis = mesh.axis_names[0]
+
+    def slab(a, fa_s, b, fb_s):
+        # late-bound module attribute so tests can substitute the XLA twin
+        return sp.similarity_block_pallas(a, fa_s, b, fb_s, pa, pb)
+
+    fn = shard_map(
+        slab,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P()),
+        out_specs=P(axis),
+        check_rep=False,
+    )
+    a_pm1 = jax.device_put(a_pm1, NamedSharding(mesh, P(axis)))
+    fa = jax.device_put(fa, NamedSharding(mesh, P(axis)))
+    b_pm1 = jax.device_put(b_pm1, NamedSharding(mesh, P()))
+    fb = jax.device_put(fb, NamedSharding(mesh, P()))
+    return fn(a_pm1, fa, b_pm1, fb)
