@@ -44,21 +44,19 @@ def _shift(x: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
 
 
 def _box_pass(x: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """One window-8 box pass along ``axis`` (last two axes are the frame).
+    """One window-4 box pass along ``axis`` (last two axes are the frame).
 
-    The spec's log-tree order (vpdq/pdq_math.py): backward-window tree
-    a2/a4, one down-shifted add, then the per-position reciprocal multiply.
-    Mirrors python_ref._box_pass op for op.
+    The spec's pairwise-tree order (vpdq/pdq_math.py): left pair a2, right
+    pair b2, their sum, then the per-position reciprocal multiply. Mirrors
+    python_ref._box_pass op for op.
     """
     n = x.shape[axis]
-    a2 = x + _shift(x, -1, axis)
-    a4 = a2 + _shift(a2, -2, axis)  # sum x[i-3..i], left-clipped
-    c2 = x + _shift(x, 1, axis)
-    c4 = c2 + _shift(c2, 2, axis)  # sum x[i..i+3], right-clipped
-    s8 = a4 + _shift(c4, 1, axis)  # sum x[i-3..i+4]
+    a2 = x + _shift(x, -1, axis)  # x[i-1] + x[i], left-clipped
+    b2 = _shift(x, 1, axis) + _shift(x, 2, axis)  # x[i+1] + x[i+2], right-clipped
+    s4 = a2 + b2  # sum x[i-1..i+2]
     shape = [1] * x.ndim
     shape[axis] = n
-    return s8 * jnp.asarray(_RECIPS).reshape(shape)
+    return s4 * jnp.asarray(_RECIPS).reshape(shape)
 
 
 def _luma(frames_u8: jnp.ndarray) -> jnp.ndarray:
@@ -75,7 +73,7 @@ def _filter_and_decimate(luma: jnp.ndarray) -> jnp.ndarray:
         x = _box_pass(x, axis=2)  # along each row
         x = _box_pass(x, axis=1)  # along each column
     # decimate at (8i+4, 8j+4)
-    return x[:, 4 :: pm.WINDOW, 4 :: pm.WINDOW]
+    return x[:, pm.DECIMATE_OFF :: pm.DECIMATE_STRIDE, pm.DECIMATE_OFF :: pm.DECIMATE_STRIDE]
 
 
 def _quality(buf64: jnp.ndarray) -> jnp.ndarray:

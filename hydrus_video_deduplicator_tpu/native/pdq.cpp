@@ -54,7 +54,7 @@ const Tables& tables() {
 }
 
 // One box pass along a row or column of a w x h buffer. Window extents and
-// reciprocals are general (any count); for the 512-path counts are 4..8 and
+// reciprocals are general (any count); for the 512-path counts are 2..4 and
 // the reciprocals match the shared table bit-for-bit because both sides
 // compute (float)(1.0 / (double)count).
 inline float recip_for(int count) {
@@ -64,40 +64,32 @@ inline float recip_for(int count) {
 
 // Box-filter `n` elements with stride `stride`, window [i-off_l, i+off_r].
 //
-// Window-8 passes use the spec's log-tree order (pdq_math.py): backward
-// up-shifted tree a2/a4 (in-place, descending i so the not-yet-updated
-// lower term is read), one down-shifted add (ascending i), then the
-// reciprocal multiply. This is the order the TPU kernels reproduce.
-// Other windows (only reachable for non-512 inputs, a C++-only
-// convenience) fall back to a sequential clipped chain.
+// Window-4 passes use the spec's pairwise-tree order (pdq_math.py): left
+// pair a2 = x[i-1] + x[i], right pair b2 = x[i+1] + x[i+2] (out-of-frame
+// terms exact 0.0f), s4 = a2 + b2, then the reciprocal multiply. This is
+// the order the TPU kernels reproduce. Other windows (only reachable for
+// non-512 inputs, a C++-only convenience) fall back to a sequential
+// clipped chain.
 void box_pass_1d(const float* in, float* out, float* scratch, int n, int stride, int off_l,
                  int off_r) {
     int window = off_l + off_r + 1;
-    if (window == 8 && off_l == 3 && off_r == 4) {
-        float* a = scratch;      // backward tree: sum x[i-3..i], left-clipped
-        float* c = scratch + n;  // forward tree:  sum x[i..i+3], right-clipped
-        for (int i = 0; i < n; i++) a[i] = in[i * stride];
-        for (int i = 0; i < n; i++) c[i] = in[i * stride];
-        for (int level = 1; level <= 2; level <<= 1) {
-            // descending i: a[i-level] still holds the previous level
-            for (int i = n - 1; i >= 0; i--) {
-                float lo = (i - level >= 0) ? a[i - level] : 0.0f;
-                a[i] = a[i] + lo;
-            }
-            // ascending i: c[i+level] still holds the previous level
-            for (int i = 0; i < n; i++) {
-                float hi = (i + level < n) ? c[i + level] : 0.0f;
-                c[i] = c[i] + hi;
-            }
+    if (window == 4 && off_l == 1 && off_r == 2) {
+        float* a = scratch;      // a2[i] = x[i-1] + x[i], left-clipped
+        float* b = scratch + n;  // b2[i] = x[i+1] + x[i+2], right-clipped
+        for (int i = 0; i < n; i++) {
+            float xm1 = (i - 1 >= 0) ? in[(size_t)(i - 1) * stride] : 0.0f;
+            a[i] = xm1 + in[(size_t)i * stride];
+            float xp1 = (i + 1 < n) ? in[(size_t)(i + 1) * stride] : 0.0f;
+            float xp2 = (i + 2 < n) ? in[(size_t)(i + 2) * stride] : 0.0f;
+            b[i] = xp1 + xp2;
         }
         for (int i = 0; i < n; i++) {
-            float fwd = (i + 1 < n) ? c[i + 1] : 0.0f;
-            float s8 = a[i] + fwd;
+            float s4 = a[i] + b[i];
             int lo = i - off_l;
             if (lo < 0) lo = 0;
             int hi = i + off_r;
             if (hi > n - 1) hi = n - 1;
-            out[i * stride] = s8 * recip_for(hi - lo + 1);
+            out[(size_t)i * stride] = s4 * recip_for(hi - lo + 1);
         }
         return;
     }
@@ -107,15 +99,16 @@ void box_pass_1d(const float* in, float* out, float* scratch, int n, int stride,
         int hi = i + off_r;
         if (hi > n - 1) hi = n - 1;
         float acc = 0.0f;
-        for (int k = lo; k <= hi; k++) acc = acc + in[k * stride];
-        out[i * stride] = acc * recip_for(hi - lo + 1);
+        for (int k = lo; k <= hi; k++) acc = acc + in[(size_t)k * stride];
+        out[(size_t)i * stride] = acc * recip_for(hi - lo + 1);
     }
 }
 
 struct Dims {
     int window, off_l, off_r;
     explicit Dims(int n) {
-        window = (n + PDQ_BUF_DIM - 1) / PDQ_BUF_DIM;
+        // upstream PDQ computeJaroszFilterWindowSize: ceil(n / (2 * 64))
+        window = (n + 2 * PDQ_BUF_DIM - 1) / (2 * PDQ_BUF_DIM);
         off_r = (window + 2) / 2 - 1;
         off_l = window - 1 - off_r;
     }

@@ -3,7 +3,7 @@
 The PDQ pipeline's HBM-heavy part is luma + four 512x512 box-filter passes.
 Unfused XLA materializes every pass to HBM (~9 MB/frame of traffic); this
 kernel keeps the whole frame pipeline VMEM-resident: it reads the 768 KB u8
-frame once, computes luma -> 2x(rows, cols) window-8 box passes -> decimate,
+frame once, computes luma -> 2x(rows, cols) window-4 box passes -> decimate,
 and writes only the 16 KB [64, 64] f32 buffer. The cheap tail of the pipeline
 (quality, DCT, median, packing — tiny arrays) runs as regular XLA ops on the
 kernel output (models/pdq.py), keeping bit-parity logic in one place.
@@ -31,17 +31,16 @@ from ..vpdq import pdq_math as pm
 
 N = pm.FRAME_DIM  # 512
 B64 = pm.BUF_DIM  # 64
-W = pm.WINDOW  # 8
+W = pm.WINDOW  # 4
 
 
 def _box_pass(x: jnp.ndarray, axis: int, recip: jnp.ndarray) -> jnp.ndarray:
-    """Window-8 box pass along ``axis`` of a [512, 512] f32 value.
+    """Window-4 box pass along ``axis`` of a [512, 512] f32 value.
 
-    Same log-tree op order as the oracle (vpdq/pdq_math.py): backward-window
-    tree a2/a4 (roll + zero mask), forward tree c2/c4, one down-shifted
-    add, then the per-position reciprocal multiply. Validity masks are
-    rank-1 in the shifted axis (broadcast in the select), computed once per
-    distinct shift.
+    Same pairwise-tree op order as the oracle (vpdq/pdq_math.py): left pair
+    a2 (roll + zero mask), right pair b2, their sum, then the per-position
+    reciprocal multiply. Validity masks are rank-1 in the shifted axis
+    (broadcast in the select), computed once per distinct shift.
     """
     shape = (1, N) if axis == 1 else (N, 1)
     idx = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
@@ -53,12 +52,10 @@ def _box_pass(x: jnp.ndarray, axis: int, recip: jnp.ndarray) -> jnp.ndarray:
         rolled = pltpu.roll(v, (-k) % N, axis)
         return jnp.where(masks[k], rolled, 0.0)
 
-    a2 = x + shift(x, -1)
-    a4 = a2 + shift(a2, -2)  # sum x[i-3..i], left-clipped
-    c2 = x + shift(x, 1)
-    c4 = c2 + shift(c2, 2)  # sum x[i..i+3], right-clipped
-    s8 = a4 + shift(c4, 1)  # sum x[i-3..i+4]
-    return s8 * recip
+    a2 = x + shift(x, -1)  # x[i-1] + x[i], left-clipped
+    b2 = shift(x, 1) + shift(x, 2)  # x[i+1] + x[i+2], right-clipped
+    s4 = a2 + b2  # sum x[i-1..i+2]
+    return s4 * recip
 
 
 def _pdq_filter_kernel(frame_ref, rrow_ref, rcol_ref, out_ref):
@@ -77,8 +74,9 @@ def _pdq_filter_kernel(frame_ref, rrow_ref, rcol_ref, out_ref):
     # decimate at (8i+4, 8j+4): sublane-split reshape + transpose (pure
     # relayout, bit-exact). [512,512] -> rows 4::8 -> [64,512] -> T ->
     # [512,64] -> cols 4::8 -> [64,64] -> T back.
-    x = x.reshape(B64, W, N)[:, pm.OFF_R, :]
-    x = x.T.reshape(B64, W, B64)[:, pm.OFF_R, :].T
+    stride, off = pm.DECIMATE_STRIDE, pm.DECIMATE_OFF
+    x = x.reshape(B64, stride, N)[:, off, :]
+    x = x.T.reshape(B64, stride, B64)[:, off, :].T
     out_ref[0] = x
 
 
@@ -104,7 +102,7 @@ def pdq_filter_batch_pallas(frames_planar_u8: jnp.ndarray) -> jnp.ndarray:
         out_shape=jax.ShapeDtypeStruct((batch, B64, B64), jnp.float32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
-            flops=batch * (N * N * (3 + pm.N_REPS * 2 * (3 * W + 1))),
+            flops=batch * (N * N * (3 + pm.N_REPS * 2 * (3 + 1 + 3))),
             bytes_accessed=batch * (3 * N * N + B64 * B64 * 4),
             transcendentals=0,
         ),

@@ -11,27 +11,37 @@ op ordering. The op-ordering contract ("exact-by-construction PDQ") is:
     to f32 is exact). The whole pipeline thereafter runs on a 1000x-scaled
     luma; PDQ's DCT/median threshold is scale-invariant so the resulting hash
     bits are unchanged vs an unscaled pipeline.
-2.  Jarosz filter: two (rows, cols) passes of a window-8 box filter, i.e. the
-    two-pass tent filter of reference PDQ (window = ceil(512/64) = 8,
-    window span per output i is [i-3, i+4] clipped to the frame — the same
-    span as upstream PDQ's box1D phase logic). Each pass uses a FIXED
-    log-tree summation order over the zero-padded window:
+2.  Jarosz filter: two (rows, cols) passes of a window-4 box filter, i.e. the
+    two-pass tent filter of reference PDQ. The window size follows upstream
+    PDQ's computeJaroszFilterWindowSize: ceil(oldDim / (2 * newDim)) =
+    ceil(512 / 128) = 4 — each box pass covers HALF the decimation stride so
+    the two passes together tent over one full stride (upstream's own
+    comment: 1024x1024 input -> window 8 = 16/2). The window span per output
+    i is [i-1, i+2] clipped to the frame — the same span as upstream PDQ's
+    box1D phase logic (halfWindow = (W+2)//2, right extent = halfWindow-1,
+    left extent = W-1-right). Each pass uses a FIXED pairwise summation
+    order over the zero-padded window:
 
-        a2 = x  + shift_up(x, 1)         # shift_up(v,k)[i] = v[i-k], 0 OOB
-        a4 = a2 + shift_up(a2, 2)        # a4[i] = sum x[i-3 .. i], left-clipped
-        c2 = x  + shift_down(x, 1)       # shift_down(v,k)[i] = v[i+k], 0 OOB
-        c4 = c2 + shift_down(c2, 2)      # c4[i] = sum x[i .. i+3], right-clipped
-        s8 = a4 + shift_down(c4, 1)      # s8[i] = sum x[i-3 .. i+4], both-clipped
-        out = s8 * RECIP[count[i]]
+        a2 = x + shift_up(x, 1)            # shift_up(v,k)[i] = v[i-k], 0 OOB
+                                           # a2[i] = x[i-1] + x[i], left-clipped
+        b2 = shift_down(x, 1) + shift_down(x, 2)
+                                           # b2[i] = x[i+1] + x[i+2], right-clipped
+        s4 = a2 + b2                       # s4[i] = sum x[i-1 .. i+2], both-clipped
+        out = s4 * RECIP[count[i]]
 
-    (3 adds instead of a 7-add sequential chain — the order every
-    implementation must reproduce exactly). Out-of-frame terms are exact
-    0.0f. Multiplying by a shared f32 reciprocal constant (instead of
-    dividing) makes CPU and TPU agree bitwise; it deviates from upstream
-    PDQ's ``sum / count`` by <= 1 ulp, far below the median-threshold
-    decision noise, as is the tree-vs-sequential reassociation.
+    (3 adds in a fixed pairwise tree instead of upstream's sequential
+    running-window add/subtract — the order every implementation must
+    reproduce exactly). Out-of-frame terms are exact 0.0f. Multiplying by a
+    shared f32 reciprocal constant (instead of dividing) makes CPU and TPU
+    agree bitwise; it deviates from upstream PDQ's ``sum / count`` by <= 1
+    ulp, far below the median-threshold decision noise, as is the
+    tree-vs-sequential reassociation (measured: tests/unit_tests/
+    test_pdq_upstream_fidelity.py hashes corpus + random + structured
+    frames through a literal upstream-order oracle and records the max
+    hash-bit divergence).
 3.  Decimate: sample the filtered 512x512 at (8i+4, 8j+4) — identical to
-    upstream PDQ's ``(int)((i + 0.5) * 512 / 64)``.
+    upstream PDQ's ``(int)((i + 0.5) * 512 / 64)``. (The stride 8 is
+    FRAME_DIM // BUF_DIM, independent of the box window.)
 4.  Quality: sum over vertical+horizontal neighbor diffs of
     ``trunc((u - v) * QUALITY_SCALE)`` (QUALITY_SCALE folds upstream's
     ``* 100 / 255`` and our 1000x luma scale into one f32 constant);
@@ -82,8 +92,11 @@ DCT_DIM = 16
 #: Bytes per packed frame hash.
 BYTES_PER_HASH = 32
 
-#: Jarosz box window for 512 -> 64: ceil-style (512 + 64 - 1) // 64 == 8.
-WINDOW = (FRAME_DIM + BUF_DIM - 1) // BUF_DIM
+#: Jarosz box window for 512 -> 64: upstream PDQ's
+#: computeJaroszFilterWindowSize(old, new) = (old + 2*new - 1) // (2*new),
+#: i.e. ceil(old / (2*new)) == 4 — each of the two box passes covers half
+#: the decimation stride so their composition (a tent) spans one stride.
+WINDOW = (FRAME_DIM + 2 * BUF_DIM - 1) // (2 * BUF_DIM)
 #: Window half extents: output i averages input [i - OFF_L, i + OFF_R].
 #: Derived from upstream PDQ's box1D phases: halfWindow = (W + 2) // 2,
 #: right extent = halfWindow - 1, left extent = W - 1 - right.
@@ -93,6 +106,10 @@ OFF_L = WINDOW - 1 - OFF_R
 #: Number of (rows, cols) box passes. Two reps of (rows+cols) = tent filter.
 N_REPS = 2
 
+#: Decimation stride and center offset: out (i, j) samples the filtered
+#: frame at (STRIDE*i + OFF, STRIDE*j + OFF).
+DECIMATE_STRIDE = FRAME_DIM // BUF_DIM
+DECIMATE_OFF = DECIMATE_STRIDE // 2
 #: Decimation gather indices: floor((i + 0.5) * FRAME_DIM / BUF_DIM).
 DECIMATE_IDX = ((2 * np.arange(BUF_DIM) + 1) * FRAME_DIM) // (2 * BUF_DIM)
 

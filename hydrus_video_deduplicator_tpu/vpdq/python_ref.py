@@ -46,27 +46,25 @@ def _shift(x: np.ndarray, k: int, axis: int) -> np.ndarray:
 
 
 def _box_pass(x: np.ndarray, axis: int) -> np.ndarray:
-    """One window-8 box pass along ``axis`` of a 2D f32 array.
+    """One window-4 box pass along ``axis`` of a 2D f32 array.
 
-    The spec's log-tree order (pdq_math module docstring): backward-window
-    tree a2/a4, one down-shifted add, then multiply by the per-position
-    f32 reciprocal of the live window count.
+    The spec's pairwise-tree order (pdq_math module docstring): left pair
+    a2, right pair b2, their sum, then multiply by the per-position f32
+    reciprocal of the live window count.
     """
     n = x.shape[axis]
-    assert pm.WINDOW == 8, "log-tree spec is defined for window 8"
-    a2 = x + _shift(x, -1, axis)
-    a4 = a2 + _shift(a2, -2, axis)  # sum x[i-3..i], left-clipped
-    c2 = x + _shift(x, 1, axis)
-    c4 = c2 + _shift(c2, 2, axis)  # sum x[i..i+3], right-clipped
-    s8 = a4 + _shift(c4, 1, axis)  # sum x[i-3..i+4]
+    assert pm.WINDOW == 4, "pairwise-tree spec is defined for window 4"
+    a2 = x + _shift(x, -1, axis)  # x[i-1] + x[i], left-clipped
+    b2 = _shift(x, 1, axis) + _shift(x, 2, axis)  # x[i+1] + x[i+2], right-clipped
+    s4 = a2 + b2  # sum x[i-1..i+2]
     recips = pm.box_recips(n).astype(np.float32)
     if axis == 0:
-        return s8 * recips[:, None]
-    return s8 * recips[None, :]
+        return s4 * recips[:, None]
+    return s4 * recips[None, :]
 
 
 def jarosz_filter(luma: np.ndarray) -> np.ndarray:
-    """Two reps of (rows-pass, cols-pass) window-8 box filter on [512,512] f32.
+    """Two reps of (rows-pass, cols-pass) window-4 box filter on [512,512] f32.
 
     "rows pass" = filtering along each row (axis 1), matching upstream PDQ's
     boxAlongRowsFloat; "cols pass" filters along axis 0.
