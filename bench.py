@@ -58,40 +58,58 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     frames = jax.random.randint(key, (B, 3, 512, 512), 0, 256, dtype=jnp.uint8)
 
+    # The iteration loop runs ON DEVICE (lax.fori_loop, steps serialized by
+    # a carry data dependency): per-call dispatch through this environment's
+    # remote tunnel costs ~1-3 ms, which at ~2.5 ms/batch would inflate the
+    # measurement by 30-100%. One dispatch per timing round instead.
+    iters = 50 if platform == "tpu" else 3
+
     @jax.jit
-    def step(frames, carry):
-        # tiny data dependency so steps serialize on-device
-        f = frames.at[0, 0, 0, 0].set((carry % 251).astype(jnp.uint8))
-        words, q = hash_fn(f)
-        return carry + jnp.sum(words) + jnp.sum(q)
+    def chain(frames, carry):
+        def body(i, c):
+            f = frames.at[0, 0, 0, 0].set(((c + i) % 251).astype(jnp.uint8))
+            words, q = hash_fn(f)
+            return c + jnp.sum(words) + jnp.sum(q)
+
+        return jax.lax.fori_loop(0, iters, body, carry)
 
     carry = jnp.int32(0)
     t0 = time.time()
-    carry = step(frames, carry)
+    carry = chain(frames, carry)
     int(carry)
-    log(f"compile+first batch ({layout}): {time.time() - t0:.1f}s")
+    log(f"compile+first round ({layout}): {time.time() - t0:.1f}s")
 
-    iters = 20
-    t0 = time.time()
-    for _ in range(iters):
-        carry = step(frames, carry)
-    int(carry)  # host transfer forces the whole chain
-    dt = (time.time() - t0) / iters
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        carry = chain(frames, carry)
+        int(carry)  # host transfer forces the whole chain
+        dt = min(dt, (time.time() - t0) / iters)
     frames_per_sec = B / dt
 
     log(f"{dt * 1000:.2f} ms / {B}-frame batch")
 
+    # secondary metric: the all-pairs search projection (bench_search.py),
+    # folded into the same JSON line so the driver captures both
+    search = None
+    try:
+        import bench_search
+
+        search = bench_search.measure()
+    except Exception as exc:  # pragma: no cover - diagnostics only
+        log(f"search bench skipped: {exc}")
+
     baseline_target = 50_000.0
-    print(
-        json.dumps(
-            {
-                "metric": "pdq_hash_frames_per_sec_per_chip",
-                "value": round(frames_per_sec, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(frames_per_sec / baseline_target, 3),
-            }
-        )
-    )
+    result = {
+        "metric": "pdq_hash_frames_per_sec_per_chip",
+        "value": round(frames_per_sec, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_sec / baseline_target, 3),
+    }
+    if search is not None:
+        result["search_projected_1m_videos_v5e8_sec"] = search["value"]
+        result["search_vs_60s_target"] = search["vs_baseline"]
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

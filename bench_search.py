@@ -5,6 +5,11 @@ Measures the TPU engine's tile throughput on synthetic packed hashes and
 extrapolates a full 1M x 1M sweep. Prints one JSON line:
   {"metric": "allpairs_1m_videos_projected_sec_v5e8", ...}
 Diagnostics go to stderr.
+
+Timing: the iteration loop runs ON DEVICE (lax.fori_loop chained through a
+carry) — per-call dispatch through this environment's remote TPU tunnel
+costs ~1-3 ms, which would swamp a ~0.75 ms kernel (round 1 reported
+3-4x-inflated tile times for exactly this reason).
 """
 
 from __future__ import annotations
@@ -22,7 +27,12 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def main() -> None:
+PAD = 8  # frames per video (1 fps, ~8 s clips)
+TR, TC = 512, 2048  # videos per tile: (TR*PAD) x (TC*PAD) frame block
+
+
+def measure() -> dict:
+    """Run the benchmark and return the JSON-able result dict."""
     import os
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
@@ -31,13 +41,13 @@ def main() -> None:
 
     on_tpu = jax.devices()[0].platform == "tpu"
     log(f"device: {jax.devices()[0]}")
-    PAD = 8  # frames per video (1 fps, ~8 s clips)
-    TR, TC = 512, 2048  # videos per tile: (TR*PAD) x (TC*PAD) frame block
 
     rows_packed = jax.random.bits(jax.random.PRNGKey(0), (TR, PAD, 8), jnp.uint32)
     cols_packed = jax.random.bits(jax.random.PRNGKey(1), (TC, PAD, 8), jnp.uint32)
     rows_counts = jnp.full((TR,), PAD, jnp.int32)
     cols_counts = jnp.full((TC,), PAD, jnp.int32)
+
+    iters = 100 if on_tpu else 2
 
     if on_tpu:
         # fused Pallas engine tile (the production TPU path)
@@ -54,38 +64,41 @@ def main() -> None:
         fb = jnp.asarray(np_.full((TC, 1), PAD, np_.int32))
 
         @jax.jit
-        def step(rp, carry):
-            rp = rp.at[0, 0].set((carry % 2 * 2 - 1).astype(jnp.int8))
-            sim = similarity_block_pallas(rp, fa, cols_pm1, fb, PAD, PAD)
-            return carry + jnp.sum(sim)
+        def chain(rp, carry):
+            def body(i, c):
+                r = rp.at[0, 0].set(((c + i) % 2 * 2 - 1).astype(jnp.int8))
+                sim = similarity_block_pallas(r, fa, cols_pm1, fb, PAD, PAD)
+                return c + jnp.sum(sim)
+
+            return jax.lax.fori_loop(0, iters, body, carry)
 
         bench_input = rows_pm1
     else:
         from hydrus_video_deduplicator_tpu.parallel.engine import _tile_similarity
 
         @jax.jit
-        def step(rp, carry):
-            rp = rp.at[0, 0, 0].set(carry.astype(jnp.uint32))
-            sim = _tile_similarity(rp, rows_counts, cols_packed, cols_counts, PAD, PAD)
-            return carry + jnp.sum(sim)
+        def chain(rp, carry):
+            def body(i, c):
+                r = rp.at[0, 0, 0].set((c + i).astype(jnp.uint32))
+                sim = _tile_similarity(r, rows_counts, cols_packed, cols_counts, PAD, PAD)
+                return c + jnp.sum(sim)
+
+            return jax.lax.fori_loop(0, iters, body, carry)
 
         bench_input = rows_packed
 
     carry = jnp.int32(0)
     t0 = time.time()
-    carry = step(bench_input, carry)
+    carry = chain(bench_input, carry)
     int(carry)
-    log(f"compile+first tile: {time.time() - t0:.1f}s")
+    log(f"compile+first round: {time.time() - t0:.1f}s")
 
-    # best-of-rounds: device time through this environment's remote tunnel
-    # varies 2-3x between moments; the fastest round is closest to the
-    # hardware's actual rate
-    iters = 10
+    # best-of-rounds: wall time through the tunnel still varies; the
+    # fastest round is closest to the hardware's actual rate
     dt = float("inf")
     for _round in range(3):
         t0 = time.time()
-        for _ in range(iters):
-            carry = step(bench_input, carry)
+        carry = chain(bench_input, carry)
         int(carry)
         dt = min(dt, (time.time() - t0) / iters)
 
@@ -104,16 +117,16 @@ def main() -> None:
     projected_sec_v5e8 = total_pairs / (pairs_per_sec * 8)
     log(f"projected 1M-video all-pairs on v5e-8: {projected_sec_v5e8:,.1f} s")
 
-    print(
-        json.dumps(
-            {
-                "metric": "allpairs_1m_videos_projected_sec_v5e8",
-                "value": round(projected_sec_v5e8, 1),
-                "unit": "s",
-                "vs_baseline": round(60.0 / projected_sec_v5e8, 3),
-            }
-        )
-    )
+    return {
+        "metric": "allpairs_1m_videos_projected_sec_v5e8",
+        "value": round(projected_sec_v5e8, 1),
+        "unit": "s",
+        "vs_baseline": round(60.0 / projected_sec_v5e8, 3),
+    }
+
+
+def main() -> None:
+    print(json.dumps(measure()))
 
 
 if __name__ == "__main__":

@@ -57,3 +57,34 @@ def test_pallas_similarity_matches_xla_tile(rng):
     )
     assert np.array_equal(sim_p, sim_x)
     assert sim_p[3, 3] == 100
+
+
+def test_find_pairs_production_pallas_route_on_corpus(rng):
+    """Drive TpuSearchEngine.find_pairs through the REAL fused-kernel route
+    (pallas_min_work=0) with ragged real-pipeline data: corpus hashes plus
+    synthetic videos, verified against the XLA tile route pair-for-pair."""
+    from pathlib import Path
+
+    from hydrus_video_deduplicator_tpu.hashing import compute_phash
+    from hydrus_video_deduplicator_tpu.parallel.engine import TpuSearchEngine
+
+    corpus = Path(__file__).parents[1] / "corpus" / "videos"
+    phashes = []
+    for d in ("scene_a", "scene_b"):
+        for vid in sorted((corpus / d).glob("*")):
+            phashes.append(compute_phash(vid).bytes)
+    # pad the corpus with synthetic 8-frame videos so the single (8, 8)
+    # bucket pair holds everything (one Mosaic compile) and planted dups
+    for i in range(40):
+        blob = rng.integers(0, 256, (8, 32), dtype=np.uint8).tobytes()
+        phashes.append(blob)
+    phashes.append(phashes[-3])  # exact dup of a synthetic video
+
+    kernel_engine = TpuSearchEngine(pallas_min_work=0)
+    tile_engine = TpuSearchEngine()
+    assert kernel_engine._use_pallas(1, 8, 8) and not tile_engine._use_pallas(1, 8, 8)
+    got = sorted(kernel_engine.find_pairs(phashes, phashes, 75))
+    expected = sorted(tile_engine.find_pairs(phashes, phashes, 75))
+    assert got == expected
+    n = len(phashes)
+    assert (n - 1, n - 4, 100) in got  # planted dup found by the kernel
