@@ -20,6 +20,7 @@ from PySide6.QtCore import QObject, QSemaphore, Qt, QThread, Signal, Slot
 from PySide6.QtWidgets import (
     QApplication,
     QCheckBox,
+    QComboBox,
     QDoubleSpinBox,
     QFormLayout,
     QGroupBox,
@@ -84,6 +85,7 @@ class DedupeParameters:
     failed_page_name: str | None = None
     search_backend: str = "auto"
     hash_backend: str = "native"
+    sampling: str = "uniform"
 
 
 class Worker(QObject):
@@ -187,6 +189,7 @@ class Worker(QObject):
                 should_skip_step_fn=self._should_skip,
                 search_backend=params.search_backend,
                 hash_backend=params.hash_backend,
+                sampling=params.sampling,
             )
             pairs = deduper.deduplicate(skip_hashing=params.skip_hashing)
         except Exception as exc:
@@ -307,9 +310,32 @@ class MainWindow(QMainWindow):
         self.query_edit = QLineEdit()
         self.query_edit.setPlaceholderText("optional custom query tags, ; separated")
         self.failed_page_edit = QLineEdit(config.FAILED_PAGE_NAME or "")
+        self.search_backend_combo = QComboBox()
+        self.search_backend_combo.addItems(["auto", "tree", "tpu"])
+        self.search_backend_combo.setToolTip(
+            "auto: TPU exact all-pairs engine when a device is available,\n"
+            "else the VP-tree. tree: force the reference VP-tree search.\n"
+            "tpu: force the device engine."
+        )
+        self.hash_backend_combo = QComboBox()
+        self.hash_backend_combo.addItems(["native", "tpu"])
+        self.hash_backend_combo.setToolTip(
+            "native: threaded C++ hasher (reference behavior).\n"
+            "tpu: device-batched hashing across all files."
+        )
+        self.sampling_combo = QComboBox()
+        self.sampling_combo.addItems(["uniform", "scene"])
+        self.sampling_combo.setToolTip(
+            "uniform: 1 frame/sec (reference parity).\n"
+            "scene: keep only visually-distinct 1 fps candidates\n"
+            "(changes hashes' frame sets; don't mix modes in one DB)."
+        )
         optform.addRow("Similarity threshold", self.threshold_spin)
         optform.addRow(self.skip_hashing_check)
         optform.addRow("Job count", self.job_count_spin)
+        optform.addRow("Search backend", self.search_backend_combo)
+        optform.addRow("Hash backend", self.hash_backend_combo)
+        optform.addRow("Frame sampling", self.sampling_combo)
         optform.addRow("Custom query", self.query_edit)
         optform.addRow("Failed page name", self.failed_page_edit)
         layout.addWidget(opt_box)
@@ -374,6 +400,9 @@ class MainWindow(QMainWindow):
             job_count=self.job_count_spin.value(),
             custom_query=[q.strip() for q in self.query_edit.text().split(";") if q.strip()],
             failed_page_name=self.failed_page_edit.text().strip() or None,
+            search_backend=self.search_backend_combo.currentText(),
+            hash_backend=self.hash_backend_combo.currentText(),
+            sampling=self.sampling_combo.currentText(),
         )
         self.run_button.setEnabled(False)
         self.skip_button.setEnabled(True)

@@ -1,7 +1,10 @@
 """Benchmark harness (mirrors reference tests/benchmarks/
 test_benchmark_vpdqpy.py groups): hashing over the corpus, all-pairs
 similarity over the golden hashes. Plain timing (pytest-benchmark is not in
-this environment); results print with -s and never fail on speed."""
+this environment); results print with -s. Each group also asserts a very
+loose floor (~20x below measured rates) so a gross perf regression — a
+silently-disabled native path, an accidentally quadratic loop — fails the
+suite between rounds instead of only printing."""
 
 from __future__ import annotations
 
@@ -34,10 +37,13 @@ def test_benchmark_hashing():
         hashes[vid] = phash
         total_frames += len(phash)
     dt = time.time() - t0
+    rate = total_frames / dt
     print(
         f"\n[bench hashing] {len(vids)} videos, {total_frames} frames in"
-        f" {dt:.2f}s = {total_frames / dt:.1f} frames/s (decode+hash, native)"
+        f" {dt:.2f}s = {rate:.1f} frames/s (decode+hash, native)"
     )
+    # measured ~40-80 frames/s on the 1-core dev sandbox; 20x headroom
+    assert rate > 2.0, f"gross hashing regression: {rate:.1f} frames/s"
 
 
 def test_benchmark_similarity():
@@ -52,7 +58,10 @@ def test_benchmark_similarity():
     for a, b in pairs:
         matchHash(a, b)
     dt = time.time() - t0
+    rate = len(pairs) / dt
     print(
         f"\n[bench similarity] {len(pairs)} pairs in {dt * 1000:.1f} ms ="
-        f" {len(pairs) / dt:.0f} pairs/s (native matchHash)"
+        f" {rate:.0f} pairs/s (native matchHash)"
     )
+    # measured ~100k+ pairs/s on the 1-core dev sandbox; huge headroom
+    assert rate > 2_000, f"gross similarity regression: {rate:.0f} pairs/s"

@@ -57,7 +57,7 @@ def _fake_pyside() -> dict:
 
     qtwidgets = types.ModuleType("PySide6.QtWidgets")
     for name in (
-        "QApplication QCheckBox QDoubleSpinBox QFormLayout QGroupBox QHBoxLayout"
+        "QApplication QCheckBox QComboBox QDoubleSpinBox QFormLayout QGroupBox QHBoxLayout"
         " QLabel QLineEdit QMainWindow QMessageBox QPlainTextEdit QPushButton"
         " QSpinBox QVBoxLayout QWidget"
     ).split():
@@ -177,3 +177,41 @@ def test_worker_full_flow_against_fake_hydrus(gui_module, tmp_path):
         assert events["maint"][-1][0] is False
     finally:
         server.stop()
+
+
+def test_dedupe_params_reach_orchestrator(gui_module, monkeypatch):
+    """The new backend/sampling options flow from DedupeParameters through
+    Worker.run_dedupe into the orchestrator constructor."""
+    captured = {}
+
+    class FakeDeduper:
+        def __init__(self, db, **kwargs):
+            captured.update(kwargs)
+            captured["db"] = db
+
+        def deduplicate(self, skip_hashing=False):
+            captured["skip_hashing"] = skip_hashing
+            return 7
+
+        threshold = 75.0
+
+    monkeypatch.setattr(gui_module, "HydrusVideoDeduplicator", FakeDeduper)
+    worker = gui_module.Worker()
+    worker.client = object()
+    worker.db = object()
+    done = []
+    worker.dedupe_complete.connect(lambda ok, msg, pairs: done.append((ok, pairs)))
+    params = gui_module.DedupeParameters(
+        threshold=80.0,
+        skip_hashing=True,
+        search_backend="tpu",
+        hash_backend="tpu",
+        sampling="scene",
+    )
+    worker.run_dedupe(params)
+    assert done == [(True, 7)]
+    assert captured["search_backend"] == "tpu"
+    assert captured["hash_backend"] == "tpu"
+    assert captured["sampling"] == "scene"
+    assert captured["skip_hashing"] is True
+    assert FakeDeduper.threshold == 80.0
