@@ -307,10 +307,14 @@ class TpuSearchEngine:
         out = []
         # tile sizes aligned to the kernel's video-block granularity; with a
         # mesh, row tiles are additionally multiples of (devices x RB) so
-        # each device's row slab is whole kernel blocks
+        # each device's row slab is whole kernel blocks. The kernel route
+        # floors tiles at 2*RB x 8*CB videos: per-dispatch overhead
+        # (~50-100 us on a TPU VM, ~1-3 ms through a remote tunnel) must be
+        # amortized over many ~0.4 ms kernel blocks, and this route only
+        # engages at >= pallas_min_work comparisons anyway.
         row_quantum = sp.RB * (self.mesh.devices.size if self.mesh is not None else 1)
-        tr = max(self.tile_rows, row_quantum) // row_quantum * row_quantum
-        tc = max(self.tile_cols, sp.CB) // sp.CB * sp.CB
+        tr = max(self.tile_rows, 2 * sp.RB, row_quantum) // row_quantum * row_quantum
+        tc = max(self.tile_cols, 8 * sp.CB) // sp.CB * sp.CB
         # ±1/0 rows once per bucket side (padding/empty frames are zero rows)
         r_pm1 = sp.unpack_pm1_host(r_frames, r_counts)
         c_pm1 = sp.unpack_pm1_host(c_frames, c_counts)
