@@ -60,8 +60,20 @@ def main(
     search_backend: str = "auto",
     hash_backend: str = "native",
     sampling: str = "uniform",
+    decode_backend: str | None = None,
 ) -> int:
     """Run the deduplicator; returns the number of similar pairs found."""
+    if decode_backend is not None:
+        # flag > env > default, like every other config tier (config.py);
+        # the decode layer reads the env var lazily per stream
+        import os
+
+        from .decode.backends import DECODE_BACKEND_ENV, DECODE_BACKEND_MODES
+
+        if decode_backend not in DECODE_BACKEND_MODES:
+            print(f"[red] ERROR: Invalid decode backend: {decode_backend!r}.")
+            raise SystemExit(1)
+        os.environ[DECODE_BACKEND_ENV] = decode_backend
     if api_url is None:
         api_url = config.HYDRUS_API_URL
     if query is None:
@@ -259,6 +271,14 @@ def _build_cli():
         default="native",
         type=click.Choice(["native", "tpu"]),
         help="Perceptual-hash engine: threaded native CPU or device-batched TPU.",
+    )
+    @click.option(
+        "--decode-backend",
+        default=None,
+        type=click.Choice(["auto", "libav", "legacy"]),
+        help="Video decode path: 'libav' (native FFmpeg, reference-exact),"
+        " 'legacy' (OpenCV/Pillow/y4m), or 'auto' (libav with fallback;"
+        " default). Also settable via HVD_DECODE_BACKEND.",
     )
     @click.option(
         "--sampling",

@@ -86,6 +86,7 @@ class DedupeParameters:
     search_backend: str = "auto"
     hash_backend: str = "native"
     sampling: str = "uniform"
+    decode_backend: str = "auto"
 
 
 class Worker(QObject):
@@ -176,6 +177,11 @@ class Worker(QObject):
             # drain stale skip requests
             while self.skip_semaphore.tryAcquire():
                 pass
+            import os
+
+            from ..decode.backends import DECODE_BACKEND_ENV
+
+            os.environ[DECODE_BACKEND_ENV] = params.decode_backend
             HydrusVideoDeduplicator.threshold = params.threshold
             deduper = HydrusVideoDeduplicator(
                 self.db,
@@ -323,6 +329,12 @@ class MainWindow(QMainWindow):
             "native: threaded C++ hasher (reference behavior).\n"
             "tpu: device-batched hashing across all files."
         )
+        self.decode_backend_combo = QComboBox()
+        self.decode_backend_combo.addItems(["auto", "libav", "legacy"])
+        self.decode_backend_combo.setToolTip(
+            "auto: native FFmpeg decoder (reference-exact) with fallback.\n"
+            "libav: native FFmpeg only. legacy: OpenCV/Pillow/y4m chain."
+        )
         self.sampling_combo = QComboBox()
         self.sampling_combo.addItems(["uniform", "scene"])
         self.sampling_combo.setToolTip(
@@ -336,6 +348,7 @@ class MainWindow(QMainWindow):
         optform.addRow("Search backend", self.search_backend_combo)
         optform.addRow("Hash backend", self.hash_backend_combo)
         optform.addRow("Frame sampling", self.sampling_combo)
+        optform.addRow("Decode backend", self.decode_backend_combo)
         optform.addRow("Custom query", self.query_edit)
         optform.addRow("Failed page name", self.failed_page_edit)
         layout.addWidget(opt_box)
@@ -403,6 +416,7 @@ class MainWindow(QMainWindow):
             search_backend=self.search_backend_combo.currentText(),
             hash_backend=self.hash_backend_combo.currentText(),
             sampling=self.sampling_combo.currentText(),
+            decode_backend=self.decode_backend_combo.currentText(),
         )
         self.run_button.setEnabled(False)
         self.skip_button.setEnabled(True)

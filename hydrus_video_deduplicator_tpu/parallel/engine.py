@@ -268,10 +268,26 @@ class TpuSearchEngine:
                     out.append((i, j, sim))
         return out
 
+    #: device tiles kept in flight before forcing a host transfer — jax
+    #: dispatch is async, so the device computes tile k+1..k+N while the
+    #: host extracts hits from tile k (bounded to cap HBM held by results)
+    MAX_TILES_IN_FLIGHT = 4
+
+    def _collect_hits(self, out, sim_dev, meta, r_idx, c_idx, min_sim):
+        i0, j0, ri_n, cj_n = meta
+        sim = np.asarray(sim_dev)
+        hits = np.argwhere(sim >= min_sim)
+        for a, b in hits:
+            if a < ri_n and b < cj_n:
+                out.append((int(r_idx[i0 + a]), int(c_idx[j0 + b]), int(sim[a, b])))
+
     def _bucket_pair(
         self, pa, r_idx, r_frames, r_counts, pb, c_idx, c_frames, c_counts, min_sim
     ):
+        from collections import deque
+
         out = []
+        inflight: deque = deque()
         # scale tiles to the bucket frame counts so the materialized
         # frame-pair block stays bounded (~32 MB int32) for any bucket
         tr = _tile_videos(self.tile_rows, TILE_ROW_FRAMES, pa)
@@ -288,15 +304,14 @@ class TpuSearchEngine:
                 cf = _pad_rows(c_frames[cj], tc)
                 cc = _pad_rows(c_counts[cj], tc)
                 if self.mesh is not None:
-                    sim = np.asarray(
-                        sharded_tile_similarity(self.mesh, rf, rc, cf, cc, pa, pb)
-                    )
+                    sim_dev = sharded_tile_similarity(self.mesh, rf, rc, cf, cc, pa, pb)
                 else:
-                    sim = np.asarray(_tile_similarity(rf, rc, cf, cc, pa, pb))
-                hits = np.argwhere(sim >= min_sim)
-                for a, b in hits:
-                    if a < (ri.stop - ri.start) and b < (cj.stop - cj.start):
-                        out.append((int(r_idx[i0 + a]), int(c_idx[j0 + b]), int(sim[a, b])))
+                    sim_dev = _tile_similarity(rf, rc, cf, cc, pa, pb)
+                inflight.append((sim_dev, (i0, j0, ri.stop - ri.start, cj.stop - cj.start)))
+                while len(inflight) > self.MAX_TILES_IN_FLIGHT:
+                    self._collect_hits(out, *inflight.popleft(), r_idx, c_idx, min_sim)
+        while inflight:
+            self._collect_hits(out, *inflight.popleft(), r_idx, c_idx, min_sim)
         return out
 
     def _bucket_pair_pallas(
@@ -318,6 +333,9 @@ class TpuSearchEngine:
         # ±1/0 rows once per bucket side (padding/empty frames are zero rows)
         r_pm1 = sp.unpack_pm1_host(r_frames, r_counts)
         c_pm1 = sp.unpack_pm1_host(c_frames, c_counts)
+        from collections import deque
+
+        inflight: deque = deque()
         for i0 in range(0, len(r_idx), tr):
             ri_n = min(i0 + tr, len(r_idx)) - i0
             rf = _pad_rows(r_pm1[i0 * pa : (i0 + ri_n) * pa], tr * pa)
@@ -327,19 +345,16 @@ class TpuSearchEngine:
                 cf = _pad_rows(c_pm1[j0 * pb : (j0 + cj_n) * pb], tc * pb)
                 cc = _pad_rows(c_counts[j0 : j0 + cj_n], tc)[:, None]
                 if self.mesh is not None:
-                    sim = np.asarray(
-                        sharded_similarity_block_pallas(
-                            self.mesh, rf, rc, cf, cc, pa, pb
-                        )
+                    sim_dev = sharded_similarity_block_pallas(
+                        self.mesh, rf, rc, cf, cc, pa, pb
                     )
                 else:
-                    sim = np.asarray(
-                        sp.similarity_block_pallas(rf, rc, cf, cc, pa, pb)
-                    )
-                hits = np.argwhere(sim >= min_sim)
-                for a, b in hits:
-                    if a < ri_n and b < cj_n:
-                        out.append((int(r_idx[i0 + a]), int(c_idx[j0 + b]), int(sim[a, b])))
+                    sim_dev = sp.similarity_block_pallas(rf, rc, cf, cc, pa, pb)
+                inflight.append((sim_dev, (i0, j0, ri_n, cj_n)))
+                while len(inflight) > self.MAX_TILES_IN_FLIGHT:
+                    self._collect_hits(out, *inflight.popleft(), r_idx, c_idx, min_sim)
+        while inflight:
+            self._collect_hits(out, *inflight.popleft(), r_idx, c_idx, min_sim)
         return out
 
 

@@ -120,6 +120,11 @@ def test_threshold_validation(fake_server, tmp_path):
         _run_main(fake_server, tmp_path / uuid.uuid4().hex, threshold=101.0)
 
 
+def test_decode_backend_validation(fake_server, tmp_path):
+    with pytest.raises(SystemExit):
+        _run_main(fake_server, tmp_path / uuid.uuid4().hex, decode_backend="nope")
+
+
 @pytest.mark.parametrize("backend", ["tree", "tpu"])
 def test_incremental_new_file_pairs_with_old(tmp_path, backend):
     """Run 2 adds a new encoding of scene_a: it must pair against the three
