@@ -67,11 +67,14 @@ def _luma(frames_u8: jnp.ndarray) -> jnp.ndarray:
 
 
 def _filter_and_decimate(luma: jnp.ndarray) -> jnp.ndarray:
-    """[B, 512, 512] f32 -> [B, 64, 64] f32 (2x (rows, cols) box + gather)."""
-    x = luma
-    for _ in range(pm.N_REPS):
-        x = _box_pass(x, axis=2)  # along each row
-        x = _box_pass(x, axis=1)  # along each column
+    """[B, 512, 512] f32 -> [B, 64, 64] f32 (box passes + gather).
+
+    Pass order (rows, cols, cols, rows) — see pdq_math's pass-order note.
+    """
+    x = _box_pass(luma, axis=2)  # rep 1: along each row
+    x = _box_pass(x, axis=1)  # rep 1: along each column
+    x = _box_pass(x, axis=1)  # rep 2: columns first
+    x = _box_pass(x, axis=2)  # rep 2: rows second
     # decimate at (8i+4, 8j+4)
     return x[:, pm.DECIMATE_OFF :: pm.DECIMATE_STRIDE, pm.DECIMATE_OFF :: pm.DECIMATE_STRIDE]
 

@@ -127,16 +127,22 @@ void pdq_hash_frame_impl(const uint8_t* rgb, int w, int h, uint8_t out_hash[PDQ_
         buf_a[i] = (float)milli;
     }
 
-    // 2. Jarosz filter: N_REPS x (rows pass, cols pass)
+    // 2. Jarosz filter: rep 1 = (rows, cols), rep 2 = (cols, rows). The
+    //    rep-2 axis swap is a pure f32 rounding reorder (box passes along
+    //    different axes commute exactly) that lets the TPU kernel restrict
+    //    rep 2 to the decimation sites — see pdq_math.py's pass-order note.
     Dims dw(w), dh(h);
     std::vector<float> scratch(2 * (size_t)(w > h ? w : h));
-    for (int rep = 0; rep < PDQ_N_REPS; rep++) {
-        for (int r = 0; r < h; r++)  // along each row (contiguous)
-            box_pass_1d(&buf_a[(size_t)r * w], &buf_b[(size_t)r * w], scratch.data(), w, 1,
-                        dw.off_l, dw.off_r);
-        for (int c = 0; c < w; c++)  // along each column (stride w)
-            box_pass_1d(&buf_b[c], &buf_a[c], scratch.data(), h, w, dh.off_l, dh.off_r);
-    }
+    for (int r = 0; r < h; r++)  // rep 1: along each row (contiguous)
+        box_pass_1d(&buf_a[(size_t)r * w], &buf_b[(size_t)r * w], scratch.data(), w, 1,
+                    dw.off_l, dw.off_r);
+    for (int c = 0; c < w; c++)  // rep 1: along each column (stride w)
+        box_pass_1d(&buf_b[c], &buf_a[c], scratch.data(), h, w, dh.off_l, dh.off_r);
+    for (int c = 0; c < w; c++)  // rep 2: columns first
+        box_pass_1d(&buf_a[c], &buf_b[c], scratch.data(), h, w, dh.off_l, dh.off_r);
+    for (int r = 0; r < h; r++)  // rep 2: rows second
+        box_pass_1d(&buf_b[(size_t)r * w], &buf_a[(size_t)r * w], scratch.data(), w, 1,
+                    dw.off_l, dw.off_r);
 
     // 3. decimate at ((2i+1)*h)/(2*64), ((2j+1)*w)/(2*64)
     float buf64[PDQ_BUF_DIM][PDQ_BUF_DIM];

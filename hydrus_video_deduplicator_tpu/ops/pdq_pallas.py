@@ -3,8 +3,9 @@
 The PDQ pipeline's HBM-heavy part is luma + four 512x512 box-filter passes.
 Unfused XLA materializes every pass to HBM (~9 MB/frame of traffic); this
 kernel keeps the whole frame pipeline VMEM-resident: it reads the 768 KB u8
-frame once, computes luma -> 2x(rows, cols) window-4 box passes -> decimate,
-and writes only the 16 KB [64, 64] f32 buffer. The cheap tail of the pipeline
+frame once, computes luma -> two full window-4 box passes (rep 1) -> rep 2
+restricted to the 4::8 decimation sites (1/8 of a pass; see pdq_math's
+pass-order note), and writes only the 16 KB [64, 64] f32 buffer. The cheap tail of the pipeline
 (quality, DCT, median, packing — tiny arrays) runs as regular XLA ops on the
 kernel output (models/pdq.py), keeping bit-parity logic in one place.
 
@@ -32,6 +33,7 @@ from ..vpdq import pdq_math as pm
 N = pm.FRAME_DIM  # 512
 B64 = pm.BUF_DIM  # 64
 W = pm.WINDOW  # 4
+_R4 = pm.RECIP[pm.WINDOW]  # interior-window reciprocal (rep-2 sites)
 
 
 def _box_pass(x: jnp.ndarray, axis: int, recip: jnp.ndarray) -> jnp.ndarray:
@@ -66,18 +68,23 @@ def _pdq_filter_kernel(frame_ref, rrow_ref, rcol_ref, out_ref):
 
     rrow = rrow_ref[:]  # [1, 512] — broadcasts along sublanes (lane pass)
     rcol = rcol_ref[:]  # [512, 1] — broadcasts along lanes (sublane pass)
-    x = luma
-    for _ in range(pm.N_REPS):
-        x = _box_pass(x, axis=1, recip=rrow)
-        x = _box_pass(x, axis=0, recip=rcol)
+    # rep 1: full-frame rows then cols passes
+    x = _box_pass(luma, axis=1, recip=rrow)
+    x = _box_pass(x, axis=0, recip=rcol)
 
-    # decimate at (8i+4, 8j+4): sublane-split reshape + transpose (pure
-    # relayout, bit-exact). [512,512] -> rows 4::8 -> [64,512] -> T ->
-    # [512,64] -> cols 4::8 -> [64,64] -> T back.
+    # rep 2 (cols then rows — pdq_math pass-order note), evaluated ONLY at
+    # the 4::8 decimation sites. Every site's window is interior
+    # (rows/cols 3..510, count always 4), so this is bit-identical to full
+    # swapped-order passes; both gathers are sublane-split reshapes (the
+    # lane-dim gather goes through one [64,512] -> [512,64] transpose,
+    # like the old decimation relayout). Rep 2 costs ~1/8 of a full pass.
     stride, off = pm.DECIMATE_STRIDE, pm.DECIMATE_OFF
-    x = x.reshape(B64, stride, N)[:, off, :]
-    x = x.T.reshape(B64, stride, B64)[:, off, :].T
-    out_ref[0] = x
+    r4 = jnp.float32(_R4)
+    q = x.reshape(B64, stride, N)  # sublane-split rows
+    u = ((q[:, off - 1] + q[:, off]) + (q[:, off + 1] + q[:, off + 2])) * r4
+    v = u.T.reshape(B64, stride, B64)  # [64,512] -> [512,64] -> split cols
+    w = ((v[:, off - 1] + v[:, off]) + (v[:, off + 1] + v[:, off + 2])) * r4
+    out_ref[0] = w.T  # w[k, i] = out[i, k]
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -102,7 +109,7 @@ def pdq_filter_batch_pallas(frames_planar_u8: jnp.ndarray) -> jnp.ndarray:
         out_shape=jax.ShapeDtypeStruct((batch, B64, B64), jnp.float32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
-            flops=batch * (N * N * (3 + pm.N_REPS * 2 * (3 + 1 + 3))),
+            flops=batch * (N * N * (3 + 2 * (3 + 1 + 3) + 1)),
             bytes_accessed=batch * (3 * N * N + B64 * B64 * 4),
             transcendentals=0,
         ),

@@ -39,6 +39,17 @@ op ordering. The op-ordering contract ("exact-by-construction PDQ") is:
     test_pdq_upstream_fidelity.py hashes corpus + random + structured
     frames through a literal upstream-order oracle and records the max
     hash-bit divergence).
+
+    Pass order: rep 1 filters rows then columns (like upstream); rep 2
+    filters COLUMNS then rows (upstream repeats rows-then-cols). Box
+    passes along different axes commute exactly in real arithmetic; the
+    swap only reorders f32 roundings (~1 ulp pre-threshold, measured 0
+    flipped hash bits over the fidelity corpus) and lets the TPU kernel
+    evaluate both rep-2 passes ONLY at the 4::8 decimation sites with
+    sublane-aligned gathers — rep 2 costs 1/8 of a full pass instead of
+    two full passes. Every rep-2 output site is window-interior (rows/
+    cols 3..510), so the restricted form is bit-identical to full
+    swapped-order passes; implementations may use either.
 3.  Decimate: sample the filtered 512x512 at (8i+4, 8j+4) — identical to
     upstream PDQ's ``(int)((i + 0.5) * 512 / 64)``. (The stride 8 is
     FRAME_DIM // BUF_DIM, independent of the box window.)

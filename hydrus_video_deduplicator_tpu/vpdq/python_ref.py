@@ -64,15 +64,18 @@ def _box_pass(x: np.ndarray, axis: int) -> np.ndarray:
 
 
 def jarosz_filter(luma: np.ndarray) -> np.ndarray:
-    """Two reps of (rows-pass, cols-pass) window-4 box filter on [512,512] f32.
+    """Two reps of the window-4 box filter on [512,512] f32.
 
     "rows pass" = filtering along each row (axis 1), matching upstream PDQ's
-    boxAlongRowsFloat; "cols pass" filters along axis 0.
+    boxAlongRowsFloat; "cols pass" filters along axis 0. Rep 1 is (rows,
+    cols); rep 2 is (cols, rows) — see the pass-order note in pdq_math:
+    the swap is a pure f32 rounding reorder that enables the TPU kernel's
+    decimation-restricted rep 2.
     """
-    x = luma
-    for _ in range(pm.N_REPS):
-        x = _box_pass(x, axis=1)
-        x = _box_pass(x, axis=0)
+    x = _box_pass(luma, axis=1)
+    x = _box_pass(x, axis=0)
+    x = _box_pass(x, axis=0)
+    x = _box_pass(x, axis=1)
     return x
 
 
