@@ -96,14 +96,19 @@ class PillowBackend(Backend):
         except UnidentifiedImageError as exc:
             raise DecodeError(f"Pillow could not open stream: {exc}") from exc
 
-        n_frames = getattr(img, "n_frames", 1)
+        # truncated/corrupt animations can raise OSError anywhere in the
+        # metadata scan (n_frames forces a full-stream parse)
+        try:
+            n_frames = getattr(img, "n_frames", 1)
+        except (OSError, SyntaxError) as exc:
+            raise DecodeError(f"Pillow could not parse animation: {exc}") from exc
         # average fps from per-frame durations (ms); missing/zero -> unknown
         total_ms = 0.0
         try:
             for i in range(n_frames):
                 img.seek(i)
                 total_ms += float(img.info.get("duration", 0) or 0)
-        except EOFError:
+        except (EOFError, OSError, SyntaxError):
             pass
         fps = (1000.0 * n_frames / total_ms) if total_ms > 0 else None
 

@@ -38,12 +38,12 @@ def _run_main(server, db_dir, **kwargs):
     )
 
 
-# The corpus has two similarity groups: scene_a (6 encodings incl. h264/mp4
-# and vp9/webm) and scene_b (5 encodings incl. h264/mp4 and mpeg4/avi) ->
-# C(6,2) + C(5,2) = 15 + 10 = 25 similar pairs at the default 50.0 threshold
-# (strange/ videos match nothing).
-EXPECTED_PAIRS = 25
-SCENE_A_ENCODINGS = 6
+# The corpus has two similarity groups: scene_a (7 encodings incl. h264/mp4,
+# vp9/webm and apng) and scene_b (5 encodings incl. h264/mp4 and mpeg4/avi)
+# -> C(7,2) + C(5,2) = 21 + 10 = 31 similar pairs at the default 50.0
+# threshold (strange/ videos match nothing).
+EXPECTED_PAIRS = 31
+SCENE_A_ENCODINGS = 7
 
 
 @pytest.mark.parametrize("backend", ["tree", "tpu"])

@@ -101,6 +101,22 @@ def write_gif(path: Path, frames: list[np.ndarray], fps=5) -> None:
     )
 
 
+def write_apng(path: Path, frames: list[np.ndarray], fps=5) -> None:
+    """Animated PNG — a first-class input for the reference tool
+    ("system:filetype=video, gif, apng", reference dedup.py:199-203)."""
+    from PIL import Image
+
+    imgs = [Image.fromarray(f) for f in frames]
+    imgs[0].save(
+        path,
+        format="PNG",
+        save_all=True,
+        append_images=imgs[1:],
+        duration=int(round(1000 / fps)),
+        loop=0,
+    )
+
+
 def write_avi_mjpg(path: Path, frames: list[np.ndarray], fps=5) -> bool:
     import cv2
 
@@ -149,6 +165,7 @@ def build(overwrite: bool) -> None:
     write_y4m(VIDEOS / "scene_a" / "S01_small.y4m", resize(a, 72, 96), fps)
     write_native(VIDEOS / "scene_a" / "S01_h264.mp4", "libx264", a, fps)
     write_native(VIDEOS / "scene_a" / "S01_vp9.webm", "libvpx-vp9", a, fps)
+    write_apng(VIDEOS / "scene_a" / "S01_apng.png", a, fps)
 
     # Group S02
     b = scene_frames(202, n, 120, 160)

@@ -182,3 +182,42 @@ def test_scene_sampling_corpus_subset():
     scene = list(extract_frames(vid, sampling="scene"))
     assert 1 <= len(scene) <= len(uniform)
     assert np.array_equal(scene[0], uniform[0])  # first frame always kept
+
+
+def test_decode_fuzz_no_crash_no_hang():
+    """Randomly mutated/truncated corpus files must either decode (possibly
+    partially) or raise DecodeError — never crash or hang (the reference's
+    strange-corpus robustness contract, scaled up with byte fuzzing)."""
+    import random
+    from pathlib import Path
+
+    corpus = Path(__file__).parents[1] / "corpus" / "videos"
+    sources = [
+        (corpus / "scene_a" / "S01_h264.mp4").read_bytes(),
+        (corpus / "scene_a" / "S01_mjpg.avi").read_bytes(),
+        (corpus / "scene_a" / "S01_gif.gif").read_bytes(),
+        (corpus / "scene_a" / "S01_apng.png").read_bytes(),
+        (corpus / "scene_b" / "S02_master.y4m").read_bytes()[:200_000],
+    ]
+    rng = random.Random(99)
+    for trial in range(40):
+        data = bytearray(rng.choice(sources))
+        mode = trial % 3
+        if mode == 0:  # truncate
+            data = data[: rng.randrange(16, len(data))]
+        elif mode == 1:  # corrupt a span
+            start = rng.randrange(0, max(1, len(data) - 64))
+            for i in range(start, min(len(data), start + 64)):
+                data[i] = rng.randrange(256)
+        else:  # bit flips
+            for _ in range(8):
+                data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+        try:
+            frames = 0
+            for f in extract_frames(bytes(data)):
+                assert f.shape == (512, 512, 3)
+                frames += 1
+                if frames > 64:
+                    break
+        except DecodeError:
+            pass  # refusing mangled input is fine; crashing/hanging is not

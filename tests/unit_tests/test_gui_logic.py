@@ -166,7 +166,7 @@ def test_worker_full_flow_against_fake_hydrus(gui_module, tmp_path):
 
         worker.run_dedupe(gui_module.DedupeParameters(threshold=50.0))
         ok, msg, pairs = events["dedupe"][-1]
-        assert ok and pairs == 25  # C(6,2)+C(5,2) over the corpus groups
+        assert ok and pairs == 31  # C(7,2)+C(5,2) over the corpus groups
         assert any("Hashing files" in p for p in events["progress"])
         assert any("Done" in p for p in events["progress"])
 
