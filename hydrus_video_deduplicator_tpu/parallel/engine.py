@@ -142,6 +142,12 @@ def _tile_similarity(
     return jnp.where(nonempty, sim, 0)
 
 
+@jax.jit
+def _hit_count(sim: jnp.ndarray, min_sim: jnp.ndarray) -> jnp.ndarray:
+    """Scalar number of entries >= min_sim (device-side result gate)."""
+    return jnp.sum(sim >= min_sim, dtype=jnp.int32)
+
+
 def _pad_rows(arr: np.ndarray, to: int) -> np.ndarray:
     if arr.shape[0] == to:
         return arr
@@ -273,13 +279,35 @@ class TpuSearchEngine:
     #: host extracts hits from tile k (bounded to cap HBM held by results)
     MAX_TILES_IN_FLIGHT = 4
 
-    def _collect_hits(self, out, sim_dev, meta, r_idx, c_idx, min_sim):
+    def _collect_hits(self, out, cnt_dev, sim_dev, meta, r_idx, c_idx, min_sim):
         i0, j0, ri_n, cj_n = meta
+        # device-side gate: most tiles of a real corpus contain no hits, so
+        # fetch a 4-byte count instead of the full [tr, tc] int32 block
+        if int(cnt_dev) == 0:
+            return
         sim = np.asarray(sim_dev)
         hits = np.argwhere(sim >= min_sim)
         for a, b in hits:
             if a < ri_n and b < cj_n:
                 out.append((int(r_idx[i0 + a]), int(c_idx[j0 + b]), int(sim[a, b])))
+
+    def _put_rows(self, arr: np.ndarray):
+        """Row-block array onto the device(s) once per row block."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(arr, NamedSharding(self.mesh, P(self.mesh.axis_names[0])))
+
+    def _put_cols(self, arr: np.ndarray):
+        """Column-tile array onto the device(s) ONCE — column tiles are
+        reused by every row block; re-uploading them per row block cost a
+        measured ~5 GB of redundant H2D in a 32k-video sweep."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(arr, NamedSharding(self.mesh, P()))
 
     def _bucket_pair(
         self, pa, r_idx, r_frames, r_counts, pb, c_idx, c_frames, c_counts, min_sim
@@ -295,19 +323,27 @@ class TpuSearchEngine:
         if self.mesh is not None:
             n = self.mesh.devices.size
             tr = max(n, (tr // n) * n)
+        col_tiles = []
+        for j0 in range(0, len(c_idx), tc):
+            cj = slice(j0, min(j0 + tc, len(c_idx)))
+            col_tiles.append((
+                j0,
+                cj.stop - cj.start,
+                self._put_cols(_pad_rows(c_frames[cj], tc)),
+                self._put_cols(_pad_rows(c_counts[cj], tc)),
+            ))
+        min_sim_dev = jnp.int32(min_sim)
         for i0 in range(0, len(r_idx), tr):
             ri = slice(i0, min(i0 + tr, len(r_idx)))
-            rf = _pad_rows(r_frames[ri], tr)
-            rc = _pad_rows(r_counts[ri], tr)
-            for j0 in range(0, len(c_idx), tc):
-                cj = slice(j0, min(j0 + tc, len(c_idx)))
-                cf = _pad_rows(c_frames[cj], tc)
-                cc = _pad_rows(c_counts[cj], tc)
+            rf = self._put_rows(_pad_rows(r_frames[ri], tr))
+            rc = self._put_rows(_pad_rows(r_counts[ri], tr))
+            for j0, cj_n, cf, cc in col_tiles:
                 if self.mesh is not None:
                     sim_dev = sharded_tile_similarity(self.mesh, rf, rc, cf, cc, pa, pb)
                 else:
                     sim_dev = _tile_similarity(rf, rc, cf, cc, pa, pb)
-                inflight.append((sim_dev, (i0, j0, ri.stop - ri.start, cj.stop - cj.start)))
+                cnt = _hit_count(sim_dev, min_sim_dev)
+                inflight.append((cnt, sim_dev, (i0, j0, ri.stop - ri.start, cj_n)))
                 while len(inflight) > self.MAX_TILES_IN_FLIGHT:
                     self._collect_hits(out, *inflight.popleft(), r_idx, c_idx, min_sim)
         while inflight:
@@ -336,21 +372,29 @@ class TpuSearchEngine:
         from collections import deque
 
         inflight: deque = deque()
+        col_tiles = []
+        for j0 in range(0, len(c_idx), tc):
+            cj_n = min(j0 + tc, len(c_idx)) - j0
+            col_tiles.append((
+                j0,
+                cj_n,
+                self._put_cols(_pad_rows(c_pm1[j0 * pb : (j0 + cj_n) * pb], tc * pb)),
+                self._put_cols(_pad_rows(c_counts[j0 : j0 + cj_n], tc)[:, None]),
+            ))
+        min_sim_dev = jnp.int32(min_sim)
         for i0 in range(0, len(r_idx), tr):
             ri_n = min(i0 + tr, len(r_idx)) - i0
-            rf = _pad_rows(r_pm1[i0 * pa : (i0 + ri_n) * pa], tr * pa)
-            rc = _pad_rows(r_counts[i0 : i0 + ri_n], tr)[:, None]
-            for j0 in range(0, len(c_idx), tc):
-                cj_n = min(j0 + tc, len(c_idx)) - j0
-                cf = _pad_rows(c_pm1[j0 * pb : (j0 + cj_n) * pb], tc * pb)
-                cc = _pad_rows(c_counts[j0 : j0 + cj_n], tc)[:, None]
+            rf = self._put_rows(_pad_rows(r_pm1[i0 * pa : (i0 + ri_n) * pa], tr * pa))
+            rc = self._put_rows(_pad_rows(r_counts[i0 : i0 + ri_n], tr)[:, None])
+            for j0, cj_n, cf, cc in col_tiles:
                 if self.mesh is not None:
                     sim_dev = sharded_similarity_block_pallas(
                         self.mesh, rf, rc, cf, cc, pa, pb
                     )
                 else:
                     sim_dev = sp.similarity_block_pallas(rf, rc, cf, cc, pa, pb)
-                inflight.append((sim_dev, (i0, j0, ri_n, cj_n)))
+                cnt = _hit_count(sim_dev, min_sim_dev)
+                inflight.append((cnt, sim_dev, (i0, j0, ri_n, cj_n)))
                 while len(inflight) > self.MAX_TILES_IN_FLIGHT:
                     self._collect_hits(out, *inflight.popleft(), r_idx, c_idx, min_sim)
         while inflight:
