@@ -319,18 +319,26 @@ class DedupeDb:
             {"f": file_hash, "p": perceptual_hash},
         )
 
-    def associate_file_with_perceptual_hash(self, file_hash: str, perceptual_hash: bytes) -> None:
+    def associate_file_with_perceptual_hash(
+        self, file_hash: str, perceptual_hash: bytes, build_tree: bool = True
+    ) -> None:
         """Bind file <-> phash, insert the phash into the VP-tree, and reset
         the file's search cache entry. Files may share identical phashes
-        (e.g. solid-color videos)."""
+        (e.g. solid-color videos).
+
+        build_tree=False defers the (expensive, O(depth x frames^2)) tree
+        descent: the exact all-pairs engine never reads the tree, so
+        tpu-backend runs skip it and the tree path reconciles missing
+        phashes on demand (get_phashes_missing_from_tree)."""
         from . import vptree
 
         hash_id = self.get_hash_id(file_hash)
         phash_id = self.get_phash_id(perceptual_hash)
         assert phash_id is not None
 
-        tree = vptree.VpTreeManager(self)
-        tree.add_leaf(phash_id, perceptual_hash)
+        if build_tree:
+            tree = vptree.VpTreeManager(self)
+            tree.add_leaf(phash_id, perceptual_hash)
 
         existing = self.execute(
             "SELECT hash_id FROM shape_perceptual_hash_map WHERE hash_id = :h", {"h": hash_id}
@@ -349,6 +357,15 @@ class DedupeDb:
                 "REPLACE INTO shape_search_cache ( hash_id, searched_distance ) VALUES ( :h, NULL )",
                 {"h": hash_id},
             )
+
+    def get_phashes_missing_from_tree(self) -> list[tuple[int, bytes]]:
+        """Perceptual hashes not yet inserted into the VP-tree (deferred by
+        tpu-backend runs); the tree search path inserts them before use."""
+        rows = self.execute(
+            "SELECT phash_id, phash FROM shape_perceptual_hashes"
+            " WHERE phash_id NOT IN ( SELECT phash_id FROM shape_vptree )"
+        ).fetchall()
+        return [(int(r[0]), bytes(r[1])) for r in rows]
 
     # -- reads ------------------------------------------------------------
 

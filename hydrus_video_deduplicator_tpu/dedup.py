@@ -479,6 +479,11 @@ class HydrusVideoDeduplicator:
     # -- stage 2: queue -> tree -------------------------------------------
 
     def process_phashed_file_queue(self) -> None:
+        # the exact all-pairs engine never reads the VP-tree, so an explicit
+        # tpu backend defers the per-insert tree descent entirely (at corpus
+        # scale the descent — not hashing or search — would dominate the
+        # pipeline); the tree path reconciles deferred phashes on demand
+        build_tree = self.search_backend != "tpu"
         rows = self.db.execute("SELECT file_hash, phash FROM phashed_file_queue").fetchall()
         with tqdm(
             total=len(rows),
@@ -496,7 +501,9 @@ class HydrusVideoDeduplicator:
                     return
                 self.db.add_file(file_hash)
                 self.db.add_perceptual_hash(phash)
-                self.db.associate_file_with_perceptual_hash(file_hash, phash)
+                self.db.associate_file_with_perceptual_hash(
+                    file_hash, phash, build_tree=build_tree
+                )
                 self.db.execute(
                     "DELETE FROM phashed_file_queue WHERE file_hash = :f AND phash = :p",
                     {"f": file_hash, "p": phash},
@@ -571,9 +578,31 @@ class HydrusVideoDeduplicator:
             return self._find_potential_duplicates_tpu(files, search_threshold)
         return self._find_potential_duplicates_tree(files, search_threshold)
 
+    def _reconcile_tree(self, tree: "vptree.VpTreeManager") -> None:
+        """Insert phashes whose tree descent was deferred by earlier
+        tpu-backend runs (DedupeDB.associate_file_with_perceptual_hash
+        build_tree=False) so tree search sees the full corpus."""
+        missing = self.db.get_phashes_missing_from_tree()
+        if not missing:
+            return
+        with tqdm(
+            total=len(missing),
+            desc="Inserting deferred files into the search tree",
+            dynamic_ncols=True,
+            unit="file",
+            colour="BLUE",
+        ) as pbar:
+            for i, (phash_id, phash) in enumerate(missing, start=1):
+                tree.add_leaf(phash_id, phash)
+                if i % self.TREE_COMMIT_BATCH == 0:
+                    self.db.commit()
+                pbar.update(1)
+        self.db.commit()
+
     def _find_potential_duplicates_tree(self, files: list[int], search_threshold: int) -> int:
         """Reference semantics: per-file VP-tree search (dedup.py:445-502)."""
         tree = vptree.VpTreeManager(self.db)
+        self._reconcile_tree(tree)
         num_similar_pairs = 0
         with tqdm(
             dynamic_ncols=True,

@@ -160,3 +160,31 @@ def test_incremental_new_file_pairs_with_old(tmp_path, backend):
         assert len(server.relationships) == EXPECTED_PAIRS
     finally:
         server.stop()
+
+
+def test_tpu_backend_defers_tree_and_tree_reconciles(fake_server, tmp_path):
+    """An explicit tpu run skips the per-insert VP-tree descent entirely;
+    switching the same database to the tree backend reconciles the deferred
+    phashes and finds the identical pair set."""
+    import sqlite3
+
+    db_dir = tmp_path / uuid.uuid4().hex
+    pairs = _run_main(fake_server, db_dir, search_backend="tpu")
+    assert pairs == EXPECTED_PAIRS
+    with sqlite3.connect(db_dir / "videohashes.sqlite") as conn:
+        n_tree = conn.execute("SELECT COUNT(*) FROM shape_vptree").fetchone()[0]
+        n_phash = conn.execute(
+            "SELECT COUNT(*) FROM shape_perceptual_hashes"
+        ).fetchone()[0]
+    assert n_tree == 0 and n_phash > 0  # descent deferred
+
+    tpu_rel = set(fake_server.relationships)
+    # same DB, tree backend: deferred phashes are inserted, search agrees
+    pairs2 = _run_main(
+        fake_server, db_dir, search_backend="tree", clear_search_cache=True
+    )
+    assert pairs2 == EXPECTED_PAIRS
+    with sqlite3.connect(db_dir / "videohashes.sqlite") as conn:
+        n_tree = conn.execute("SELECT COUNT(*) FROM shape_vptree").fetchone()[0]
+    assert n_tree == n_phash  # fully reconciled
+    assert set(fake_server.relationships) == tpu_rel
