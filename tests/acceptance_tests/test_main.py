@@ -188,3 +188,11 @@ def test_tpu_backend_defers_tree_and_tree_reconciles(fake_server, tmp_path):
         n_tree = conn.execute("SELECT COUNT(*) FROM shape_vptree").fetchone()[0]
     assert n_tree == n_phash  # fully reconciled
     assert set(fake_server.relationships) == tpu_rel
+
+
+def test_scene_sampling_end_to_end(fake_server, tmp_path):
+    """--sampling scene end-to-end: the corpus scenes have motion, so every
+    1 fps candidate is visually distinct and the pair set matches uniform
+    sampling (the mode's value is collapsing static content)."""
+    pairs = _run_main(fake_server, tmp_path / uuid.uuid4().hex, sampling="scene")
+    assert pairs == EXPECTED_PAIRS
