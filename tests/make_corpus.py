@@ -193,6 +193,19 @@ def build(overwrite: bool) -> None:
         for fr in mono_frames:
             f.write(b"FRAME\n")
             f.write(fr[:, :, 1].tobytes())
+    # animated webp: the one format routed to Pillow even in auto decode
+    # mode (libavcodec cannot decode webp animation — backends.py)
+    anim_webp = scene_frames(309, 6, 48, 48)
+    from PIL import Image
+
+    webp_imgs = [Image.fromarray(f) for f in anim_webp]
+    webp_imgs[0].save(
+        strange / "anim.webp",
+        save_all=True,
+        append_images=webp_imgs[1:],
+        duration=500,
+        loop=0,
+    )
     # variable frame rate: no avg_frame_rate -> every frame hashed
     # (reference vpdqpy.py:73-77 None-fps branch, on a real container)
     vfr = scene_frames(308, 6, 64, 64)
