@@ -479,12 +479,15 @@ class HydrusVideoDeduplicator:
     # -- stage 2: queue -> tree -------------------------------------------
 
     def process_phashed_file_queue(self) -> None:
-        # the exact all-pairs engine never reads the VP-tree, so an explicit
-        # tpu backend defers the per-insert tree descent entirely (at corpus
-        # scale the descent — not hashing or search — would dominate the
-        # pipeline); the tree path reconciles deferred phashes on demand
-        build_tree = self.search_backend != "tpu"
         rows = self.db.execute("SELECT file_hash, phash FROM phashed_file_queue").fetchall()
+        # the exact all-pairs engine never reads the VP-tree, so runs that
+        # will search on it defer the per-insert tree descent entirely (at
+        # corpus scale the descent — not hashing or search — would dominate
+        # the pipeline). The decision mirrors stage 4's backend resolution
+        # with the queue size as the corpus estimate; a wrong guess is
+        # harmless because the tree path reconciles deferred phashes on
+        # demand (_reconcile_tree).
+        build_tree = self._pick_search_backend(len(rows)) == "tree"
         with tqdm(
             total=len(rows),
             desc="Building search tree",

@@ -91,6 +91,7 @@ struct Decoder {
     int step = 1;
     bool eof_sent = false;     // flush packet delivered to the decoder
     bool finished = false;     // stream ended (EOF or dead generator)
+    bool pkt_pending = false;  // pkt holds a packet send_packet EAGAIN'd on
     std::string err;
 };
 
@@ -270,28 +271,37 @@ int hvdd_next(void* h, uint8_t* out) {
             return 0;
         }
         while (true) {
-            ret = av_read_frame(d->fmt, d->pkt);
-            if (ret == AVERROR_EOF) {
-                avcodec_send_packet(d->codec, nullptr);  // flush
-                d->eof_sent = true;
-                break;
-            }
-            if (ret < 0) {
-                if (ret == AVERROR_INVALIDDATA) {
-                    d->frame_index++;
-                    d->finished = true;
-                    return 0;
+            if (!d->pkt_pending) {
+                ret = av_read_frame(d->fmt, d->pkt);
+                if (ret == AVERROR_EOF) {
+                    avcodec_send_packet(d->codec, nullptr);  // flush
+                    d->eof_sent = true;
+                    break;
                 }
-                d->err = "demux error: " + av_errstr(ret);
-                return -1;
-            }
-            if (d->pkt->stream_index != d->stream_index) {
-                av_packet_unref(d->pkt);
-                continue;
+                if (ret < 0) {
+                    if (ret == AVERROR_INVALIDDATA) {
+                        d->frame_index++;
+                        d->finished = true;
+                        return 0;
+                    }
+                    d->err = "demux error: " + av_errstr(ret);
+                    return -1;
+                }
+                if (d->pkt->stream_index != d->stream_index) {
+                    av_packet_unref(d->pkt);
+                    continue;
+                }
             }
             ret = avcodec_send_packet(d->codec, d->pkt);
+            if (ret == AVERROR(EAGAIN)) {
+                // decoder wants output drained first: keep the packet and
+                // re-send it after the next receive_frame round
+                d->pkt_pending = true;
+                break;
+            }
+            d->pkt_pending = false;
             av_packet_unref(d->pkt);
-            if (ret == 0 || ret == AVERROR(EAGAIN)) break;
+            if (ret == 0) break;
             if (ret == AVERROR_INVALIDDATA) {
                 d->frame_index++;
                 d->finished = true;

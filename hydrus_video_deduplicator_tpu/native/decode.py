@@ -129,33 +129,40 @@ class LibavDecoder:
         if not self._handle:
             raise LibavDecodeError(errbuf.value.decode("utf-8", "replace"))
 
+    def _live_handle(self):
+        """The open handle; raising beats handing the C side a NULL."""
+        handle = getattr(self, "_handle", None)
+        if not handle:
+            raise LibavDecodeError("decoder is closed")
+        return handle
+
     @property
     def average_rate(self) -> Fraction | None:
         """The stream's avg_frame_rate (None when unknown, like PyAV)."""
         num = ctypes.c_int64(0)
         den = ctypes.c_int64(0)
-        self._lib.hvdd_avg_rate(self._handle, ctypes.byref(num), ctypes.byref(den))
+        self._lib.hvdd_avg_rate(self._live_handle(), ctypes.byref(num), ctypes.byref(den))
         if num.value <= 0 or den.value <= 0:
             return None
         return Fraction(num.value, den.value)
 
     @property
     def step(self) -> int:
-        return int(self._lib.hvdd_step(self._handle))
+        return int(self._lib.hvdd_step(self._live_handle()))
 
     @property
     def frames_seen(self) -> int:
-        return int(self._lib.hvdd_frames_seen(self._handle))
+        return int(self._lib.hvdd_frames_seen(self._live_handle()))
 
     def __iter__(self):
         out = np.empty((512, 512, 3), dtype=np.uint8)
         u8p = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         while True:
-            ret = self._lib.hvdd_next(self._handle, u8p)
+            ret = self._lib.hvdd_next(self._live_handle(), u8p)
             if ret == 0:
                 return
             if ret < 0:
-                msg = self._lib.hvdd_errmsg(self._handle)
+                msg = self._lib.hvdd_errmsg(self._live_handle())
                 raise LibavDecodeError(msg.decode("utf-8", "replace") if msg else "decode error")
             yield out.copy()
 

@@ -26,6 +26,7 @@ scales ~linearly in devices; no collectives beyond the initial broadcast.
 from __future__ import annotations
 
 import functools
+from collections import deque
 from dataclasses import dataclass, field
 
 import jax
@@ -309,13 +310,31 @@ class TpuSearchEngine:
 
         return jax.device_put(arr, NamedSharding(self.mesh, P()))
 
+    def _stream_tiles(self, row_blocks, col_tiles, compute, r_idx, c_idx, min_sim):
+        """Shared tile-streaming machinery for both engine routes: iterate
+        (row block x column tile), keep MAX_TILES_IN_FLIGHT device results
+        pending, drain through the hit-count gate.
+
+        row_blocks: iterable of (i0, ri_n, row_args); col_tiles: list of
+        (j0, cj_n, col_args); compute(row_args, col_args) -> device sim.
+        """
+        out = []
+        inflight: deque = deque()
+        min_sim_dev = jnp.int32(min_sim)
+        for i0, ri_n, row_args in row_blocks:
+            for j0, cj_n, col_args in col_tiles:
+                sim_dev = compute(row_args, col_args)
+                cnt = _hit_count(sim_dev, min_sim_dev)
+                inflight.append((cnt, sim_dev, (i0, j0, ri_n, cj_n)))
+                while len(inflight) > self.MAX_TILES_IN_FLIGHT:
+                    self._collect_hits(out, *inflight.popleft(), r_idx, c_idx, min_sim)
+        while inflight:
+            self._collect_hits(out, *inflight.popleft(), r_idx, c_idx, min_sim)
+        return out
+
     def _bucket_pair(
         self, pa, r_idx, r_frames, r_counts, pb, c_idx, c_frames, c_counts, min_sim
     ):
-        from collections import deque
-
-        out = []
-        inflight: deque = deque()
         # scale tiles to the bucket frame counts so the materialized
         # frame-pair block stays bounded (~32 MB int32) for any bucket
         tr = _tile_videos(self.tile_rows, TILE_ROW_FRAMES, pa)
@@ -329,33 +348,33 @@ class TpuSearchEngine:
             col_tiles.append((
                 j0,
                 cj.stop - cj.start,
-                self._put_cols(_pad_rows(c_frames[cj], tc)),
-                self._put_cols(_pad_rows(c_counts[cj], tc)),
+                (
+                    self._put_cols(_pad_rows(c_frames[cj], tc)),
+                    self._put_cols(_pad_rows(c_counts[cj], tc)),
+                ),
             ))
-        min_sim_dev = jnp.int32(min_sim)
-        for i0 in range(0, len(r_idx), tr):
-            ri = slice(i0, min(i0 + tr, len(r_idx)))
-            rf = self._put_rows(_pad_rows(r_frames[ri], tr))
-            rc = self._put_rows(_pad_rows(r_counts[ri], tr))
-            for j0, cj_n, cf, cc in col_tiles:
-                if self.mesh is not None:
-                    sim_dev = sharded_tile_similarity(self.mesh, rf, rc, cf, cc, pa, pb)
-                else:
-                    sim_dev = _tile_similarity(rf, rc, cf, cc, pa, pb)
-                cnt = _hit_count(sim_dev, min_sim_dev)
-                inflight.append((cnt, sim_dev, (i0, j0, ri.stop - ri.start, cj_n)))
-                while len(inflight) > self.MAX_TILES_IN_FLIGHT:
-                    self._collect_hits(out, *inflight.popleft(), r_idx, c_idx, min_sim)
-        while inflight:
-            self._collect_hits(out, *inflight.popleft(), r_idx, c_idx, min_sim)
-        return out
+
+        def row_blocks():
+            for i0 in range(0, len(r_idx), tr):
+                ri = slice(i0, min(i0 + tr, len(r_idx)))
+                rf = self._put_rows(_pad_rows(r_frames[ri], tr))
+                rc = self._put_rows(_pad_rows(r_counts[ri], tr))
+                yield i0, ri.stop - ri.start, (rf, rc)
+
+        def compute(row_args, col_args):
+            rf, rc = row_args
+            cf, cc = col_args
+            if self.mesh is not None:
+                return sharded_tile_similarity(self.mesh, rf, rc, cf, cc, pa, pb)
+            return _tile_similarity(rf, rc, cf, cc, pa, pb)
+
+        return self._stream_tiles(row_blocks(), col_tiles, compute, r_idx, c_idx, min_sim)
 
     def _bucket_pair_pallas(
         self, pa, r_idx, r_frames, r_counts, pb, c_idx, c_frames, c_counts, min_sim
     ):
         from ..ops import similarity_pallas as sp
 
-        out = []
         # tile sizes aligned to the kernel's video-block granularity; with a
         # mesh, row tiles are additionally multiples of (devices x RB) so
         # each device's row slab is whole kernel blocks. The kernel route
@@ -369,37 +388,33 @@ class TpuSearchEngine:
         # ±1/0 rows once per bucket side (padding/empty frames are zero rows)
         r_pm1 = sp.unpack_pm1_host(r_frames, r_counts)
         c_pm1 = sp.unpack_pm1_host(c_frames, c_counts)
-        from collections import deque
-
-        inflight: deque = deque()
         col_tiles = []
         for j0 in range(0, len(c_idx), tc):
             cj_n = min(j0 + tc, len(c_idx)) - j0
             col_tiles.append((
                 j0,
                 cj_n,
-                self._put_cols(_pad_rows(c_pm1[j0 * pb : (j0 + cj_n) * pb], tc * pb)),
-                self._put_cols(_pad_rows(c_counts[j0 : j0 + cj_n], tc)[:, None]),
+                (
+                    self._put_cols(_pad_rows(c_pm1[j0 * pb : (j0 + cj_n) * pb], tc * pb)),
+                    self._put_cols(_pad_rows(c_counts[j0 : j0 + cj_n], tc)[:, None]),
+                ),
             ))
-        min_sim_dev = jnp.int32(min_sim)
-        for i0 in range(0, len(r_idx), tr):
-            ri_n = min(i0 + tr, len(r_idx)) - i0
-            rf = self._put_rows(_pad_rows(r_pm1[i0 * pa : (i0 + ri_n) * pa], tr * pa))
-            rc = self._put_rows(_pad_rows(r_counts[i0 : i0 + ri_n], tr)[:, None])
-            for j0, cj_n, cf, cc in col_tiles:
-                if self.mesh is not None:
-                    sim_dev = sharded_similarity_block_pallas(
-                        self.mesh, rf, rc, cf, cc, pa, pb
-                    )
-                else:
-                    sim_dev = sp.similarity_block_pallas(rf, rc, cf, cc, pa, pb)
-                cnt = _hit_count(sim_dev, min_sim_dev)
-                inflight.append((cnt, sim_dev, (i0, j0, ri_n, cj_n)))
-                while len(inflight) > self.MAX_TILES_IN_FLIGHT:
-                    self._collect_hits(out, *inflight.popleft(), r_idx, c_idx, min_sim)
-        while inflight:
-            self._collect_hits(out, *inflight.popleft(), r_idx, c_idx, min_sim)
-        return out
+
+        def row_blocks():
+            for i0 in range(0, len(r_idx), tr):
+                ri_n = min(i0 + tr, len(r_idx)) - i0
+                rf = self._put_rows(_pad_rows(r_pm1[i0 * pa : (i0 + ri_n) * pa], tr * pa))
+                rc = self._put_rows(_pad_rows(r_counts[i0 : i0 + ri_n], tr)[:, None])
+                yield i0, ri_n, (rf, rc)
+
+        def compute(row_args, col_args):
+            rf, rc = row_args
+            cf, cc = col_args
+            if self.mesh is not None:
+                return sharded_similarity_block_pallas(self.mesh, rf, rc, cf, cc, pa, pb)
+            return sp.similarity_block_pallas(rf, rc, cf, cc, pa, pb)
+
+        return self._stream_tiles(row_blocks(), col_tiles, compute, r_idx, c_idx, min_sim)
 
 
 # ---------------------------------------------------------------------------
@@ -407,14 +422,11 @@ class TpuSearchEngine:
 # ---------------------------------------------------------------------------
 
 
-def sharded_tile_similarity(mesh, rows_packed, rows_counts, cols_packed, cols_counts, pa, pb):
-    """Row-sharded tile similarity over a 1-D mesh.
-
-    rows_* are sharded on the leading axis (device slabs), cols_* are
-    replicated; each device computes its slab of the similarity matrix.
-    The result is sharded the same way as the rows.
-    """
-    from jax.sharding import NamedSharding, PartitionSpec as P
+@functools.lru_cache(maxsize=64)
+def _sharded_tile_fn(mesh, pa: int, pb: int):
+    """Jitted shard_map wrapper for the XLA tile, cached per (mesh, pa, pb)
+    — rebuilding the closure per tile would retrace in the hot loop."""
+    from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
 
     axis = mesh.axis_names[0]
@@ -422,18 +434,61 @@ def sharded_tile_similarity(mesh, rows_packed, rows_counts, cols_packed, cols_co
     def slab(rp, rc, cp, cc):
         return _tile_similarity(rp, rc, cp, cc, pa, pb)
 
-    fn = shard_map(
-        slab,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P()),
-        out_specs=P(axis),
-        check_rep=False,
+    return jax.jit(
+        shard_map(
+            slab,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(), P()),
+            out_specs=P(axis),
+            check_rep=False,
+        )
     )
+
+
+def sharded_tile_similarity(mesh, rows_packed, rows_counts, cols_packed, cols_counts, pa, pb):
+    """Row-sharded tile similarity over a 1-D mesh.
+
+    rows_* are sharded on the leading axis (device slabs), cols_* are
+    replicated; each device computes its slab of the similarity matrix.
+    The result is sharded the same way as the rows. (device_put of an
+    already correctly-placed array is a no-op, so callers may pre-place
+    tiles that are reused across calls.)
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
     rows_packed = jax.device_put(rows_packed, NamedSharding(mesh, P(axis)))
     rows_counts = jax.device_put(rows_counts, NamedSharding(mesh, P(axis)))
     cols_packed = jax.device_put(cols_packed, NamedSharding(mesh, P()))
     cols_counts = jax.device_put(cols_counts, NamedSharding(mesh, P()))
-    return fn(rows_packed, rows_counts, cols_packed, cols_counts)
+    return _sharded_tile_fn(mesh, pa, pb)(
+        rows_packed, rows_counts, cols_packed, cols_counts
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_block_pallas_fn(mesh, pa: int, pb: int, kernel_fn):
+    """Jitted shard_map wrapper for the fused kernel, cached per
+    (mesh, pa, pb, kernel). kernel_fn is passed explicitly (rather than
+    read from the module inside the slab) so tests substituting the XLA
+    twin get their own cache entry."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+
+    def slab(a, fa_s, b, fb_s):
+        return kernel_fn(a, fa_s, b, fb_s, pa, pb)
+
+    return jax.jit(
+        shard_map(
+            slab,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(), P()),
+            out_specs=P(axis),
+            check_rep=False,
+        )
+    )
 
 
 def sharded_similarity_block_pallas(mesh, a_pm1, fa, b_pm1, fb, pa, pb):
@@ -446,25 +501,13 @@ def sharded_similarity_block_pallas(mesh, a_pm1, fa, b_pm1, fb, pa, pb):
     the same way.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
 
     from ..ops import similarity_pallas as sp
 
     axis = mesh.axis_names[0]
-
-    def slab(a, fa_s, b, fb_s):
-        # late-bound module attribute so tests can substitute the XLA twin
-        return sp.similarity_block_pallas(a, fa_s, b, fb_s, pa, pb)
-
-    fn = shard_map(
-        slab,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P()),
-        out_specs=P(axis),
-        check_rep=False,
-    )
     a_pm1 = jax.device_put(a_pm1, NamedSharding(mesh, P(axis)))
     fa = jax.device_put(fa, NamedSharding(mesh, P(axis)))
     b_pm1 = jax.device_put(b_pm1, NamedSharding(mesh, P()))
     fb = jax.device_put(fb, NamedSharding(mesh, P()))
+    fn = _sharded_block_pallas_fn(mesh, pa, pb, sp.similarity_block_pallas)
     return fn(a_pm1, fa, b_pm1, fb)
