@@ -675,7 +675,32 @@ class HydrusVideoDeduplicator:
                 SearchingForDuplicatesProgress(complete=0, total=len(row_ids))
             )
         engine = TpuSearchEngine(mesh=self._device_mesh())
-        hits = engine.find_pairs(row_phashes, all_phashes, min_sim)
+        with tqdm(
+            total=100,
+            desc="Searching for duplicates (all-pairs engine)",
+            dynamic_ncols=True,
+            unit="%",
+            colour="BLUE",
+        ) as search_bar:
+
+            def on_progress(done: int, total: int) -> None:
+                pct = int(100 * done / total) if total else 100
+                search_bar.n = min(pct, 100)
+                search_bar.refresh()
+                if self.update_progress_callback:
+                    # protocol counts files; map pair-work fraction onto them
+                    self.update_progress_callback(
+                        SearchingForDuplicatesProgress(
+                            complete=int(len(row_ids) * min(pct, 100) / 100),
+                            total=len(row_ids),
+                        )
+                    )
+
+            hits = engine.find_pairs(
+                row_phashes, all_phashes, min_sim, progress=on_progress
+            )
+            search_bar.n = 100
+            search_bar.refresh()
 
         # ``hits`` enumerates exactly the same (searcher, found) events as the
         # reference's per-file tree loop: a row-vs-row pair appears in both

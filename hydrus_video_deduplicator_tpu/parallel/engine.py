@@ -196,6 +196,9 @@ class TpuSearchEngine:
         if mesh is not None:
             n = mesh.devices.size
             self.tile_rows = ((tile_rows + n - 1) // n) * n
+        self._progress_cb = None
+        self._progress_done = 0
+        self._progress_total = 0
 
     def _use_pallas(self, work: int, pa: int, pb: int) -> bool:
         return (
@@ -209,6 +212,7 @@ class TpuSearchEngine:
         row_phashes: list[bytes],
         all_phashes: list[bytes],
         min_int_similarity: int,
+        progress=None,
     ) -> list[tuple[int, int, int]]:
         """All (row_index, all_index, int_similarity) with similarity >=
         min_int_similarity (must be >= 1: similarity 0 means "no match" in
@@ -217,10 +221,21 @@ class TpuSearchEngine:
         corpus slot (callers dedupe identical files at a higher level).
         Videos longer than MAX_BUCKET frames are compared exactly on the
         host.
+
+        progress: optional callable(done_video_pairs, total_video_pairs),
+        invoked as device tiles complete (corpus-scale sweeps run minutes;
+        the caller surfaces this through the progress-callback protocol).
         """
         assert min_int_similarity >= 1, "minimum similarity must be >= 1"
         rows = CorpusIndex(row_phashes)
         cols = CorpusIndex(all_phashes)
+        total_pairs = 0
+        for pa, rb in rows.buckets.items():
+            for pb, cb in cols.buckets.items():
+                total_pairs += len(rb.video_idx) * len(cb.video_idx)
+        self._progress_done = 0
+        self._progress_total = total_pairs
+        self._progress_cb = progress
         out: list[tuple[int, int, int]] = []
         for pa, rb in rows.buckets.items():
             r_idx, r_frames, r_counts = rows.bucket_arrays(pa)
@@ -282,6 +297,9 @@ class TpuSearchEngine:
 
     def _collect_hits(self, out, cnt_dev, sim_dev, meta, r_idx, c_idx, min_sim):
         i0, j0, ri_n, cj_n = meta
+        if self._progress_cb is not None:
+            self._progress_done += ri_n * cj_n
+            self._progress_cb(self._progress_done, self._progress_total)
         # device-side gate: most tiles of a real corpus contain no hits, so
         # fetch a 4-byte count instead of the full [tr, tc] int32 block
         if int(cnt_dev) == 0:
