@@ -32,7 +32,6 @@ from ..vpdq import pdq_math as pm
 
 N = pm.FRAME_DIM  # 512
 B64 = pm.BUF_DIM  # 64
-W = pm.WINDOW  # 4
 _R4 = pm.RECIP[pm.WINDOW]  # interior-window reciprocal (rep-2 sites)
 
 
