@@ -125,3 +125,23 @@ def test_mp4_bytes_and_path_identical():
     assert len(a) == len(b)
     for fa, fb in zip(a, b):
         assert np.array_equal(fa, fb)
+
+
+def test_concurrent_decoders_are_deterministic():
+    """Separate decoder instances in parallel threads (the TpuVideoHasher
+    decode-pool pattern) must produce identical frames to a serial pass."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    data = (CORPUS / "scene_a" / "S01_h264.mp4").read_bytes()
+
+    def decode_all(_):
+        with nd.LibavDecoder(data) as dec:
+            return [f.copy() for f in dec]
+
+    serial = decode_all(None)
+    with ThreadPoolExecutor(4) as ex:
+        results = list(ex.map(decode_all, range(8)))
+    for frames in results:
+        assert len(frames) == len(serial)
+        for a, b in zip(frames, serial):
+            assert np.array_equal(a, b)
