@@ -107,11 +107,11 @@ def does_db_exist() -> bool:
 
 
 def create_db_dir() -> None:
-    try:
-        os.makedirs(get_db_file_path().parent, exist_ok=False)
-        log.info("Created DB dir %s", get_db_file_path().parent)
-    except OSError:
-        pass
+    # exist_ok so re-runs are silent, but real failures (EACCES, EROFS,
+    # ENOSPC) propagate instead of surfacing later as an opaque sqlite
+    # "unable to open database file"
+    os.makedirs(get_db_file_path().parent, exist_ok=True)
+    log.info("Created DB dir %s", get_db_file_path().parent)
 
 
 def create_db() -> None:
@@ -200,8 +200,17 @@ class DedupeDb:
 
     def get_version(self) -> str:
         if self.does_table_exist("version"):
-            (version,) = self.execute("SELECT version FROM version").fetchone()
-            return version
+            row = self.execute("SELECT version FROM version").fetchone()
+            if row is None:
+                # table created but its INSERT never committed (process
+                # killed mid-create): fail with a clear message instead of
+                # an opaque unpack TypeError
+                raise RuntimeError(
+                    "database version table is empty — the database is"
+                    " corrupt or was only partially created; delete"
+                    f" '{_DB_FILE_NAME}' and re-run"
+                )
+            return row[0]
         # pre-version-table databases are treated as the last version that
         # lacked one (reference DedupeDB.py:326-333)
         return "0.6.0"

@@ -310,7 +310,17 @@ class HydrusVideoDeduplicator:
             try:
                 num_similar_pairs = self.find_potential_duplicates()
             except KeyboardInterrupt:
-                print("[yellow] Searching for duplicates was interrupted! Progress was saved.")
+                if getattr(self, "_last_search_backend", "tree") == "tpu":
+                    # the batched engine only checkpoints the search cache
+                    # after marking completes (PARITY.md interrupt-
+                    # granularity delta) — don't claim progress was saved
+                    print(
+                        "[yellow] Searching for duplicates was interrupted!"
+                        " The all-pairs engine searches in one batch, so the"
+                        " next run will redo this search."
+                    )
+                else:
+                    print("[yellow] Searching for duplicates was interrupted! Progress was saved.")
 
         post_dedupe_count = self.client.get_potential_duplicate_count_hydrus()
         new_count = post_dedupe_count - pre_dedupe_count
@@ -425,32 +435,48 @@ class HydrusVideoDeduplicator:
             sampling=self.sampling,
             mesh=self._device_mesh(),
         )
+
+        def fetch_chunk(chunk) -> list[tuple[str, bytes]]:
+            """Per-file API failure isolation (FileHasher semantics)."""
+            fetched: list[tuple[str, bytes]] = []
+            for file_hash in chunk:
+                try:
+                    response = self.client.client.get_file(hash_=file_hash)
+                    fetched.append((file_hash, response.content))
+                except hydrus_api.HydrusAPIException as exc:
+                    stats.failed_from_api_errors_count += 1
+                    print("[red] Hydrus API error during perceptual hashing:")
+                    print(f"{exc}")
+                    time.sleep(FileHasher.API_ERROR_BACKOFF_SECONDS)
+            return fetched
+
         try:
+            from concurrent.futures import ThreadPoolExecutor
+
             with tqdm(
                 total=len(video_hashes),
                 desc="Perceptually hashing files (TPU)",
                 dynamic_ncols=True,
                 unit="file",
                 colour="BLUE",
-            ) as pbar:
-                for chunk in batched(video_hashes, self.TPU_HASH_CHUNK):
+            ) as pbar, ThreadPoolExecutor(max_workers=1) as prefetcher:
+                chunks = list(batched(video_hashes, self.TPU_HASH_CHUNK))
+                # fetch chunk k+1 while chunk k decodes/hashes so the decode
+                # pool and the device never idle on network I/O
+                future = prefetcher.submit(fetch_chunk, chunks[0]) if chunks else None
+                for ci, chunk in enumerate(chunks):
                     if self.should_skip_step_fn and self.should_skip_step_fn():
                         return stats
                     if self.update_progress_callback:
                         self.update_progress_callback(
                             HashingProgress(complete=pbar.n, total=pbar.total)
                         )
-                    # fetch (per-file API failure isolation)
-                    fetched: list[tuple[str, bytes]] = []
-                    for file_hash in chunk:
-                        try:
-                            response = self.client.client.get_file(hash_=file_hash)
-                            fetched.append((file_hash, response.content))
-                        except hydrus_api.HydrusAPIException as exc:
-                            stats.failed_from_api_errors_count += 1
-                            print("[red] Hydrus API error during perceptual hashing:")
-                            print(f"{exc}")
-                            time.sleep(FileHasher.API_ERROR_BACKOFF_SECONDS)
+                    fetched = future.result()
+                    future = (
+                        prefetcher.submit(fetch_chunk, chunks[ci + 1])
+                        if ci + 1 < len(chunks)
+                        else None
+                    )
                     # decode + hash on device
                     for result in hasher.hash_videos(fetched):
                         if result.error is not None:
@@ -576,6 +602,7 @@ class HydrusVideoDeduplicator:
             ).fetchall()
         ]
         backend = self._pick_search_backend(len(files))
+        self._last_search_backend = backend
         log.info("searching %d files with the %s backend", len(files), backend)
         if backend == "tpu":
             return self._find_potential_duplicates_tpu(files, search_threshold)

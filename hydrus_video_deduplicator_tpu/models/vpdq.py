@@ -42,6 +42,10 @@ DECODE_WORKERS = 4
 FRAME_BUFFER_FRAMES = 512
 
 
+class _ConsumerAborted(Exception):
+    """Internal: the batch consumer died; decode workers must exit."""
+
+
 @dataclass
 class VideoResult:
     key: object
@@ -130,7 +134,20 @@ class TpuVideoHasher:
 
     # -- decode stage -----------------------------------------------------
 
-    def _decode_worker(self, jobs: "queue.Queue", out: "queue.Queue") -> None:
+    @staticmethod
+    def _abortable_put(out: "queue.Queue", item, abort: "threading.Event") -> None:
+        """Bounded-queue put that gives up when the consumer aborted —
+        otherwise a device-side failure would leave workers blocked on a
+        full queue forever (thread + frame-buffer leak)."""
+        while True:
+            try:
+                out.put(item, timeout=0.25)
+                return
+            except queue.Full:
+                if abort.is_set():
+                    raise _ConsumerAborted()
+
+    def _decode_worker(self, jobs: "queue.Queue", out: "queue.Queue", abort) -> None:
         """Streams ('frame', idx, frame_no, planar) messages through the
         frame-bounded queue (true decode->device backpressure: memory is
         bounded by frames in flight, not videos), then a
@@ -143,11 +160,18 @@ class TpuVideoHasher:
             n = 0
             try:
                 for f in extract_frames(video, sampling=self.sampling):
-                    out.put(("frame", idx, n, np.ascontiguousarray(f.transpose(2, 0, 1))))
+                    self._abortable_put(
+                        out, ("frame", idx, n, np.ascontiguousarray(f.transpose(2, 0, 1))), abort
+                    )
                     n += 1
-                out.put(("done", idx, n, None))
+                self._abortable_put(out, ("done", idx, n, None), abort)
+            except _ConsumerAborted:
+                return
             except Exception as exc:  # typed failure, never poisons the batch
-                out.put(("done", idx, n, exc))
+                try:
+                    self._abortable_put(out, ("done", idx, n, exc), abort)
+                except _ConsumerAborted:
+                    return
 
     # -- main pipeline -----------------------------------------------------
 
@@ -161,6 +185,7 @@ class TpuVideoHasher:
 
         jobs: "queue.Queue" = queue.Queue()
         decoded: "queue.Queue" = queue.Queue(maxsize=FRAME_BUFFER_FRAMES)
+        abort = threading.Event()
         for idx, (key, video) in enumerate(items):
             jobs.put((idx, key, video))
         workers = []
@@ -168,7 +193,7 @@ class TpuVideoHasher:
         for _ in range(n_workers):
             jobs.put(None)
             t = threading.Thread(
-                target=self._decode_worker, args=(jobs, decoded), daemon=True
+                target=self._decode_worker, args=(jobs, decoded, abort), daemon=True
             )
             t.start()
             workers.append(t)
@@ -202,23 +227,37 @@ class TpuVideoHasher:
                 blob = blobs[i] if qual[i] >= self.quality_min else b""
                 hashes_per_video[owner].append((frame_no, blob))
 
-        while done_decoding < len(items):
-            msg = decoded.get()
-            if msg[0] == "frame":
-                _, idx, frame_no, frame = msg
-                pending_frames.append(frame)
-                pending_owner.append((idx, frame_no))
-                if len(pending_frames) >= self.batch_size:
-                    flush(pending_frames, pending_owner)
-                    pending_frames, pending_owner = [], []
-            else:  # ("done", idx, n_frames, error)
-                _, idx, _n, exc = msg
-                done_decoding += 1
-                if exc is not None:
-                    errors[idx] = exc
-                if progress:
-                    progress(done_decoding, len(items))
-        flush(pending_frames, pending_owner)
+        try:
+            while done_decoding < len(items):
+                msg = decoded.get()
+                if msg[0] == "frame":
+                    _, idx, frame_no, frame = msg
+                    pending_frames.append(frame)
+                    pending_owner.append((idx, frame_no))
+                    if len(pending_frames) >= self.batch_size:
+                        flush(pending_frames, pending_owner)
+                        pending_frames, pending_owner = [], []
+                else:  # ("done", idx, n_frames, error)
+                    _, idx, _n, exc = msg
+                    done_decoding += 1
+                    if exc is not None:
+                        errors[idx] = exc
+                    if progress:
+                        progress(done_decoding, len(items))
+            flush(pending_frames, pending_owner)
+        except BaseException:
+            # device/hash failure (or CTRL+C): release workers blocked on
+            # the bounded queue before propagating — otherwise they leak,
+            # each holding up to the full frame buffer in memory
+            abort.set()
+            while True:
+                try:
+                    decoded.get_nowait()
+                except queue.Empty:
+                    break
+            for t in workers:
+                t.join(timeout=5.0)
+            raise
         for t in workers:
             t.join()
 

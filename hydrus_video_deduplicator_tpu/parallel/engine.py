@@ -237,10 +237,16 @@ class TpuSearchEngine:
         self._progress_total = total_pairs
         self._progress_cb = progress
         out: list[tuple[int, int, int]] = []
+        # column bucket arrays are stacked and device-placed ONCE per
+        # (bucket, route) and reused across every row bucket — rebuilding
+        # them per row bucket re-uploads the whole corpus per bucket pair
+        col_arrays = {pb: cols.bucket_arrays(pb) for pb in cols.buckets}
+        col_cache: dict = {}
+        row_pm1_cache: dict = {}
         for pa, rb in rows.buckets.items():
             r_idx, r_frames, r_counts = rows.bucket_arrays(pa)
             for pb, cb in cols.buckets.items():
-                c_idx, c_frames, c_counts = cols.bucket_arrays(pb)
+                c_idx, c_frames, c_counts = col_arrays[pb]
                 work = len(r_idx) * len(c_idx) * pa * pb
                 fn = (
                     self._bucket_pair_pallas
@@ -252,6 +258,8 @@ class TpuSearchEngine:
                         pa, r_idx, r_frames, r_counts,
                         pb, c_idx, c_frames, c_counts,
                         min_int_similarity,
+                        col_cache=col_cache,
+                        row_pm1_cache=row_pm1_cache,
                     )
                 )
         out.extend(
@@ -259,35 +267,53 @@ class TpuSearchEngine:
         )
         return out
 
-    @staticmethod
-    def _long_video_pairs(rows, row_phashes, cols, all_phashes, min_sim):
+    def _long_video_pairs(self, rows, row_phashes, cols, all_phashes, min_sim):
         """Exact host-side comparison for videos too long to bucket.
 
         Covers (long row x every col) and (every row x long col) without
-        double-counting the (long row x long col) block.
+        double-counting the (long row x long col) block. Runs on a thread
+        pool (native matchHashBytes releases the GIL) and reports through
+        the same progress callback as the device tiles — a long video
+        costs a full corpus sweep, which would otherwise look like a hang.
         """
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
         from ..vpdq import matchHashBytes
 
-        out = []
+        out: list[tuple[int, int, int]] = []
         nonempty_cols = [
             (j, blob) for j, blob in enumerate(all_phashes) if len(blob) > 0
         ]
-        for i, blob in rows.long:
-            for j, other in nonempty_cols:
-                sim = int(matchHashBytes(blob, other, TOL))
-                if sim >= min_sim:
-                    out.append((i, j, sim))
         nonempty_rows = [
             (i, blob) for i, blob in enumerate(row_phashes) if len(blob) > 0
         ]
         long_row_set = {i for i, _ in rows.long}
-        for j, blob in cols.long:
-            for i, other in nonempty_rows:
-                if i in long_row_set:
-                    continue  # already covered above
-                sim = int(matchHashBytes(other, blob, TOL))
+        short_rows = [(i, blob) for i, blob in nonempty_rows if i not in long_row_set]
+        # (index, blob, others, flipped): flipped jobs come from long corpus
+        # columns and emit (row, col) with the long video as the column
+        jobs = [(i, blob, nonempty_cols, False) for i, blob in rows.long]
+        jobs += [(j, blob, short_rows, True) for j, blob in cols.long]
+        if not jobs:
+            return out
+        if self._progress_cb is not None:
+            self._progress_total += sum(len(j[2]) for j in jobs)
+
+        def one(job):
+            idx, blob, others, flipped = job
+            hits = []
+            for k, other in others:
+                sim = int(matchHashBytes(blob, other, TOL))
                 if sim >= min_sim:
-                    out.append((i, j, sim))
+                    hits.append((k, idx, sim) if flipped else (idx, k, sim))
+            return hits
+
+        with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
+            for job, hits in zip(jobs, ex.map(one, jobs)):
+                out.extend(hits)
+                if self._progress_cb is not None:
+                    self._progress_done += len(job[2])
+                    self._progress_cb(self._progress_done, self._progress_total)
         return out
 
     #: device tiles kept in flight before forcing a host transfer — jax
@@ -344,14 +370,15 @@ class TpuSearchEngine:
                 sim_dev = compute(row_args, col_args)
                 cnt = _hit_count(sim_dev, min_sim_dev)
                 inflight.append((cnt, sim_dev, (i0, j0, ri_n, cj_n)))
-                while len(inflight) > self.MAX_TILES_IN_FLIGHT:
+                while len(inflight) >= self.MAX_TILES_IN_FLIGHT:
                     self._collect_hits(out, *inflight.popleft(), r_idx, c_idx, min_sim)
         while inflight:
             self._collect_hits(out, *inflight.popleft(), r_idx, c_idx, min_sim)
         return out
 
     def _bucket_pair(
-        self, pa, r_idx, r_frames, r_counts, pb, c_idx, c_frames, c_counts, min_sim
+        self, pa, r_idx, r_frames, r_counts, pb, c_idx, c_frames, c_counts, min_sim,
+        col_cache=None, row_pm1_cache=None,
     ):
         # scale tiles to the bucket frame counts so the materialized
         # frame-pair block stays bounded (~32 MB int32) for any bucket
@@ -360,17 +387,23 @@ class TpuSearchEngine:
         if self.mesh is not None:
             n = self.mesh.devices.size
             tr = max(n, (tr // n) * n)
-        col_tiles = []
-        for j0 in range(0, len(c_idx), tc):
-            cj = slice(j0, min(j0 + tc, len(c_idx)))
-            col_tiles.append((
-                j0,
-                cj.stop - cj.start,
-                (
-                    self._put_cols(_pad_rows(c_frames[cj], tc)),
-                    self._put_cols(_pad_rows(c_counts[cj], tc)),
-                ),
-            ))
+        # device col tiles depend only on pb; cache across row buckets
+        cache_key = ("tile", pb)
+        col_tiles = None if col_cache is None else col_cache.get(cache_key)
+        if col_tiles is None:
+            col_tiles = []
+            for j0 in range(0, len(c_idx), tc):
+                cj = slice(j0, min(j0 + tc, len(c_idx)))
+                col_tiles.append((
+                    j0,
+                    cj.stop - cj.start,
+                    (
+                        self._put_cols(_pad_rows(c_frames[cj], tc)),
+                        self._put_cols(_pad_rows(c_counts[cj], tc)),
+                    ),
+                ))
+            if col_cache is not None:
+                col_cache[cache_key] = col_tiles
 
         def row_blocks():
             for i0 in range(0, len(r_idx), tr):
@@ -389,7 +422,8 @@ class TpuSearchEngine:
         return self._stream_tiles(row_blocks(), col_tiles, compute, r_idx, c_idx, min_sim)
 
     def _bucket_pair_pallas(
-        self, pa, r_idx, r_frames, r_counts, pb, c_idx, c_frames, c_counts, min_sim
+        self, pa, r_idx, r_frames, r_counts, pb, c_idx, c_frames, c_counts, min_sim,
+        col_cache=None, row_pm1_cache=None,
     ):
         from ..ops import similarity_pallas as sp
 
@@ -403,20 +437,32 @@ class TpuSearchEngine:
         row_quantum = sp.RB * (self.mesh.devices.size if self.mesh is not None else 1)
         tr = max(self.tile_rows, 2 * sp.RB, row_quantum) // row_quantum * row_quantum
         tc = max(self.tile_cols, 8 * sp.CB) // sp.CB * sp.CB
-        # ±1/0 rows once per bucket side (padding/empty frames are zero rows)
-        r_pm1 = sp.unpack_pm1_host(r_frames, r_counts)
-        c_pm1 = sp.unpack_pm1_host(c_frames, c_counts)
-        col_tiles = []
-        for j0 in range(0, len(c_idx), tc):
-            cj_n = min(j0 + tc, len(c_idx)) - j0
-            col_tiles.append((
-                j0,
-                cj_n,
-                (
-                    self._put_cols(_pad_rows(c_pm1[j0 * pb : (j0 + cj_n) * pb], tc * pb)),
-                    self._put_cols(_pad_rows(c_counts[j0 : j0 + cj_n], tc)[:, None]),
-                ),
-            ))
+        # ±1/0 rows once per bucket side (padding/empty frames are zero
+        # rows); row unpack cached across col buckets, device col tiles
+        # cached across row buckets
+        if row_pm1_cache is not None and pa in row_pm1_cache:
+            r_pm1 = row_pm1_cache[pa]
+        else:
+            r_pm1 = sp.unpack_pm1_host(r_frames, r_counts)
+            if row_pm1_cache is not None:
+                row_pm1_cache[pa] = r_pm1
+        cache_key = ("pallas", pb)
+        col_tiles = None if col_cache is None else col_cache.get(cache_key)
+        if col_tiles is None:
+            c_pm1 = sp.unpack_pm1_host(c_frames, c_counts)
+            col_tiles = []
+            for j0 in range(0, len(c_idx), tc):
+                cj_n = min(j0 + tc, len(c_idx)) - j0
+                col_tiles.append((
+                    j0,
+                    cj_n,
+                    (
+                        self._put_cols(_pad_rows(c_pm1[j0 * pb : (j0 + cj_n) * pb], tc * pb)),
+                        self._put_cols(_pad_rows(c_counts[j0 : j0 + cj_n], tc)[:, None]),
+                    ),
+                ))
+            if col_cache is not None:
+                col_cache[cache_key] = col_tiles
 
         def row_blocks():
             for i0 in range(0, len(r_idx), tr):

@@ -160,3 +160,38 @@ def test_orchestrator_builds_mesh_by_default(mesh):
     built = HydrusVideoDeduplicator._device_mesh()
     assert built is not None
     assert built.devices.size == mesh.devices.size
+
+
+def test_hasher_device_failure_releases_decode_workers(rng):
+    """A device/hash exception mid-run must propagate AND unblock decode
+    workers stuck on the bounded frame queue (no thread/memory leak)."""
+    import threading
+    import time as _time
+
+    from hydrus_video_deduplicator_tpu.models import vpdq as mvpdq
+
+    frames = np.repeat(
+        np.repeat(rng.integers(0, 256, (16, 8, 64, 64, 3), dtype=np.uint8), 8, 2), 8, 3
+    )
+    items = [(i, _frames_to_y4m(frames[i])) for i in range(16)]
+
+    hasher = mvpdq.TpuVideoHasher(batch_size=4, decode_workers=4)
+
+    calls = {"n": 0}
+
+    def exploding(batch):
+        calls["n"] += 1
+        raise RuntimeError("device fell over")
+
+    hasher._hash_batch = exploding
+    before = threading.active_count()
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="device fell over"):
+        hasher.hash_videos(items)
+    # workers must exit promptly instead of blocking on the full queue
+    deadline = _time.time() + 10
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before, "decode workers leaked"
+    assert calls["n"] == 1
