@@ -41,6 +41,24 @@ class ExitException(SystemExit):
     pass
 
 
+def _enable_jax_compile_cache(db_dir: Path) -> None:
+    """Persist compiled XLA/Mosaic programs next to the dedupe database.
+
+    The device search engine compiles one fused kernel per frame-count
+    bucket-pair shape (seconds to minutes each on TPU); without a
+    persistent cache every invocation recompiles them all. Honors an
+    existing user-configured cache dir.
+    """
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir", str(db_dir / ".jax_cache"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # jax absent or too old: CPU-only install, no cache
+        pass
+
+
 def main(
     api_key: str | None = None,
     api_url: str | None = None,
@@ -104,6 +122,7 @@ def main(
         logging.disable()
 
     DedupeDB.set_db_dir(Path(dedup_database_dir))
+    _enable_jax_compile_cache(Path(dedup_database_dir))
 
     if overwrite is not None:
         pretty = "--" + ("" if overwrite else "no-") + "overwrite"
