@@ -1,0 +1,258 @@
+"""Fixed-shape ("segment") variant of the fused similarity kernel.
+
+The bucketed kernel (similarity_pallas.py) specializes on the (pa, pb)
+frame-count bucket pair — a mixed-length corpus compiles up to ~121 Mosaic
+kernels and pads every video to a power of two. This variant fixes every
+shape once and moves the raggedness into DATA:
+
+  * videos pack greedily into fixed FRAME blocks (no power-of-two padding:
+    a 9-frame video occupies 9 frame rows);
+  * the frame->video-slot membership one-hots — compile-time constants in
+    the bucketed kernel — are inputs here, built per block by the packer;
+  * the kernel body is the bucketed kernel's, verbatim math: int8 MXU dot,
+    single-compare match, one-hot MXU reductions, min of directional
+    match fractions.
+
+One kernel shape => ONE compile ever, and ~0 padding waste on realistic
+corpora. Constraints: a video must fit inside one column chunk
+(SEG_MAX_FRAMES frames); longer videos take the bucketed or host paths.
+
+Per pallas_call (all fixed):
+  rows: TILE_ROW_BLOCKS blocks x [ROW_FRAMES, 256] frames / ROW_SLOTS slots
+  cols: TILE_COL_STEPS steps x N_SPLIT chunks x [CHUNK_FRAMES, 256] frames
+        / CHUNK_SLOTS local slots
+  out:  [TILE_ROW_BLOCKS*ROW_SLOTS, TILE_COL_STEPS*N_SPLIT*CHUNK_SLOTS]
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import similarity as ops_sim
+from .similarity_pallas import BITS, MATCH_DOT, unpack_pm1_host
+
+#: kernel row block: frames x video slots
+ROW_FRAMES = 2048
+ROW_SLOTS = 256
+#: kernel column chunk: frames x local video slots; N_SPLIT chunks per step
+CHUNK_FRAMES = 512
+CHUNK_SLOTS = 64
+N_SPLIT = 4
+STEP_FRAMES = N_SPLIT * CHUNK_FRAMES  # 2048
+STEP_SLOTS = N_SPLIT * CHUNK_SLOTS  # 256
+
+#: videos longer than one column chunk cannot take this route
+SEG_MAX_FRAMES = CHUNK_FRAMES
+
+#: blocks/steps per pallas_call — fixed so there is exactly one executable
+TILE_ROW_BLOCKS = 2  # 4096 frames / 512 slots per call
+TILE_COL_STEPS = 8  # 16384 frames / 2048 slots per call
+
+
+def _segment_kernel(a_ref, b_ref, oa_ref, ob_ref, fa_ref, fb_ref, out_ref):
+    """Bucketed-kernel math with membership one-hots as data."""
+    a = a_ref[:]  # [ROW_FRAMES, 256] int8 (zero rows never match)
+    onehot_a = oa_ref[:]  # [ROW_FRAMES, ROW_SLOTS] int8
+    fa_div = jnp.maximum(fa_ref[:], 1)  # [ROW_SLOTS, 1]
+
+    for s in range(N_SPLIT):
+        b = b_ref[s * CHUNK_FRAMES : (s + 1) * CHUNK_FRAMES, :]
+        onehot_b = ob_ref[s * CHUNK_FRAMES : (s + 1) * CHUNK_FRAMES, :]
+        fb = fb_ref[s * CHUNK_SLOTS : (s + 1) * CHUNK_SLOTS, :]
+
+        dot = jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )  # [ROW_FRAMES, CHUNK_FRAMES]
+        m8 = (dot >= MATCH_DOT).astype(jnp.int8)
+
+        cnt_b = jax.lax.dot_general(
+            m8, onehot_b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        hits_b = (cnt_b > 0).astype(jnp.int8)
+        ma = jax.lax.dot_general(
+            onehot_a, hits_b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        cnt_a = jax.lax.dot_general(
+            onehot_a, m8, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        hits_a = (cnt_a > 0).astype(jnp.int8)
+        mb = jax.lax.dot_general(
+            hits_a, onehot_b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+
+        fb_div = jnp.maximum(fb.T, 1)
+        sim = jnp.minimum((100 * ma) // fa_div, (100 * mb) // fb_div)
+        out_ref[:, s * CHUNK_SLOTS : (s + 1) * CHUNK_SLOTS] = sim
+
+
+@jax.jit
+def similarity_segments_pallas(a_pm1, oa, fa, b_pm1, ob, fb):
+    """Slot-level similarity for packed segment tiles (TPU only).
+
+    a_pm1 [RA_F, 256] i8, oa [RA_F, ROW_SLOTS] i8, fa [RA_S, 1] i32 with
+    RA_F a multiple of ROW_FRAMES (RA_S = RA_F//ROW_FRAMES*ROW_SLOTS);
+    b_pm1 [CB_F, 256], ob [CB_F, CHUNK_SLOTS], fb [CB_S, 1] with CB_F a
+    multiple of STEP_FRAMES. Returns [RA_S, CB_S] int32 similarities.
+    """
+    ra_f = a_pm1.shape[0]
+    cb_f = b_pm1.shape[0]
+    assert ra_f % ROW_FRAMES == 0 and cb_f % STEP_FRAMES == 0, (ra_f, cb_f)
+    n_row_blocks = ra_f // ROW_FRAMES
+    n_col_steps = cb_f // STEP_FRAMES
+    grid = (n_col_steps, n_row_blocks)
+    grid_spec = pl.GridSpec(
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROW_FRAMES, BITS), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((STEP_FRAMES, BITS), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_FRAMES, ROW_SLOTS), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((STEP_FRAMES, CHUNK_SLOTS), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_SLOTS, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((STEP_SLOTS, 1), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ROW_SLOTS, STEP_SLOTS), lambda j, i: (i, j), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        _segment_kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_row_blocks * ROW_SLOTS, n_col_steps * STEP_SLOTS), jnp.int32
+        ),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ra_f * cb_f * BITS,
+            bytes_accessed=ra_f * BITS + cb_f * BITS + ra_f // 8 * cb_f // 8 * 4,
+            transcendentals=0,
+        ),
+    )(a_pm1, b_pm1, oa, ob, fa, fb)
+
+
+@jax.jit
+def similarity_segments_xla(a_pm1, oa, fa, b_pm1, ob, fb):
+    """Plain-XLA twin of similarity_segments_pallas: identical signature,
+    layout, and math; runs on any backend (CPU oracle / mock target)."""
+    ra_f = a_pm1.shape[0]
+    cb_f = b_pm1.shape[0]
+    n_row_blocks = ra_f // ROW_FRAMES
+    n_chunks = cb_f // CHUNK_FRAMES
+    fa_div = jnp.maximum(fa, 1)  # [RA_S, 1]
+    row_outs = []
+    for i in range(n_row_blocks):
+        a = a_pm1[i * ROW_FRAMES : (i + 1) * ROW_FRAMES]
+        oha = oa[i * ROW_FRAMES : (i + 1) * ROW_FRAMES]
+        chunk_outs = []
+        for c in range(n_chunks):
+            b = b_pm1[c * CHUNK_FRAMES : (c + 1) * CHUNK_FRAMES]
+            ohb = ob[c * CHUNK_FRAMES : (c + 1) * CHUNK_FRAMES]
+            dot = jax.lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+            )
+            m = (dot >= MATCH_DOT).astype(jnp.int32)
+            cnt_b = m @ ohb.astype(jnp.int32)
+            hits_b = (cnt_b > 0).astype(jnp.int32)
+            ma = oha.astype(jnp.int32).T @ hits_b
+            cnt_a = oha.astype(jnp.int32).T @ m
+            hits_a = (cnt_a > 0).astype(jnp.int32)
+            mb = hits_a @ ohb.astype(jnp.int32)
+            chunk_outs.append((ma, mb, c))
+        row_fa = fa_div[i * ROW_SLOTS : (i + 1) * ROW_SLOTS]
+        sims = []
+        for ma, mb, c in chunk_outs:
+            fb_div = jnp.maximum(fb[c * CHUNK_SLOTS : (c + 1) * CHUNK_SLOTS], 1).T
+            sims.append(jnp.minimum((100 * ma) // row_fa, (100 * mb) // fb_div))
+        row_outs.append(jnp.concatenate(sims, axis=1))
+    return jnp.concatenate(row_outs, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Host-side greedy packer
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PackedBlock:
+    """One fixed-shape block of packed videos."""
+
+    pm1: np.ndarray  # [frames, 256] int8 (zero rows past content)
+    onehot: np.ndarray  # [frames, slots] int8
+    counts: np.ndarray  # [slots, 1] int32 (0 for empty slots)
+    slot_map: np.ndarray  # [slots] int64 corpus index, -1 for empty slots
+
+
+def blob_to_pm1(blob: bytes) -> np.ndarray:
+    """Packed 32N-byte hash blob -> [N, 256] ±1 int8 rows (kernel layout)."""
+    n = len(blob) // 32
+    packed = ops_sim.blobs_to_packed(blob).reshape(1, n, 8)
+    return unpack_pm1_host(packed, np.asarray([n]))
+
+
+def pack_blocks(
+    items: "list[tuple[int, bytes]]", frames_per_block: int, slots_per_block: int
+) -> list[PackedBlock]:
+    """Greedy first-fit packing of (corpus_index, blob) into fixed blocks.
+
+    Every video must have 1..frames_per_block frames (callers route longer
+    videos elsewhere). Items are packed in order; a block closes when the
+    next video exceeds its remaining frames or slots.
+    """
+    blocks: list[PackedBlock] = []
+    cur_rows: list[np.ndarray] = []
+    cur_frames = 0
+    cur_slots: list[tuple[int, int]] = []  # (corpus index, n_frames)
+
+    def close():
+        nonlocal cur_rows, cur_frames, cur_slots
+        pm1 = np.zeros((frames_per_block, BITS), dtype=np.int8)
+        if cur_frames:
+            pm1[:cur_frames] = np.concatenate(cur_rows, axis=0)
+        onehot = np.zeros((frames_per_block, slots_per_block), dtype=np.int8)
+        counts = np.zeros((slots_per_block, 1), dtype=np.int32)
+        slot_map = np.full((slots_per_block,), -1, dtype=np.int64)
+        f = 0
+        for s, (idx, n) in enumerate(cur_slots):
+            onehot[f : f + n, s] = 1
+            counts[s, 0] = n
+            slot_map[s] = idx
+            f += n
+        blocks.append(PackedBlock(pm1, onehot, counts, slot_map))
+        cur_rows, cur_frames, cur_slots = [], 0, []
+
+    for idx, blob in items:
+        n = len(blob) // 32
+        assert 1 <= n <= frames_per_block, (idx, n)
+        if cur_slots and (
+            cur_frames + n > frames_per_block or len(cur_slots) >= slots_per_block
+        ):
+            close()
+        cur_rows.append(blob_to_pm1(blob))
+        cur_frames += n
+        cur_slots.append((idx, n))
+    if cur_slots:
+        close()
+    return blocks
+
+
+def stack_blocks(blocks: list[PackedBlock], n_blocks: int, frames: int, slots: int):
+    """Stack (and pad with empty blocks) into tile arrays.
+
+    Returns (pm1 [n_blocks*frames, 256], onehot [n_blocks*frames, slots],
+    counts [n_blocks*slots, 1], slot_map [n_blocks*slots]).
+    """
+    assert len(blocks) <= n_blocks
+    pm1 = np.zeros((n_blocks * frames, BITS), dtype=np.int8)
+    onehot = np.zeros((n_blocks * frames, slots), dtype=np.int8)
+    counts = np.zeros((n_blocks * slots, 1), dtype=np.int32)
+    slot_map = np.full((n_blocks * slots,), -1, dtype=np.int64)
+    for k, blk in enumerate(blocks):
+        pm1[k * frames : (k + 1) * frames] = blk.pm1
+        onehot[k * frames : (k + 1) * frames] = blk.onehot
+        counts[k * slots : (k + 1) * slots] = blk.counts
+        slot_map[k * slots : (k + 1) * slots] = blk.slot_map
+    return pm1, onehot, counts, slot_map

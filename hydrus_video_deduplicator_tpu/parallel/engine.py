@@ -178,6 +178,7 @@ class TpuSearchEngine:
         tile_cols: int = TILE_COLS,
         mesh=None,
         pallas_min_work: int | None = None,
+        force_segments: bool | None = None,
     ):
         """mesh: optional jax.sharding.Mesh (1-D). When given, tiles are
         row-sharded over the mesh with shard_map (each device computes its
@@ -196,6 +197,9 @@ class TpuSearchEngine:
         if mesh is not None:
             n = mesh.devices.size
             self.tile_rows = ((tile_rows + n - 1) // n) * n
+        #: tri-state: None = auto (TPU + enough work), True/False = forced
+        #: (tests use True with the XLA twin to exercise the route on CPU)
+        self.force_segments = force_segments
         self._progress_cb = None
         self._progress_done = 0
         self._progress_total = 0
@@ -205,6 +209,25 @@ class TpuSearchEngine:
             jax.devices()[0].platform == "tpu"
             and work >= self.pallas_min_work
             and pa * pb <= self.PALLAS_MAX_PA_PB
+        )
+
+    def _use_segments(self, rows: "CorpusIndex", cols: "CorpusIndex") -> bool:
+        """Take the fixed-shape segment route when the seg-eligible part of
+        the corpus clears the kernel-work threshold (one compile EVER and
+        no power-of-two padding — ops/similarity_segments.py)."""
+        if self.force_segments is not None:
+            return self.force_segments
+        from ..ops import similarity_segments as seg
+
+        row_frames = sum(
+            sum(b.counts) for p, b in rows.buckets.items() if p <= seg.SEG_MAX_FRAMES
+        )
+        col_frames = sum(
+            sum(b.counts) for p, b in cols.buckets.items() if p <= seg.SEG_MAX_FRAMES
+        )
+        return (
+            jax.devices()[0].platform == "tpu"
+            and row_frames * col_frames >= self.pallas_min_work
         )
 
     def find_pairs(
@@ -227,6 +250,8 @@ class TpuSearchEngine:
         the caller surfaces this through the progress-callback protocol).
         """
         assert min_int_similarity >= 1, "minimum similarity must be >= 1"
+        from ..ops import similarity_segments as seg
+
         rows = CorpusIndex(row_phashes)
         cols = CorpusIndex(all_phashes)
         total_pairs = 0
@@ -237,6 +262,23 @@ class TpuSearchEngine:
         self._progress_total = total_pairs
         self._progress_cb = progress
         out: list[tuple[int, int, int]] = []
+
+        use_segments = self._use_segments(rows, cols)
+        if use_segments:
+            seg_rows = [
+                (i, row_phashes[i])
+                for p, b in sorted(rows.buckets.items())
+                if p <= seg.SEG_MAX_FRAMES
+                for i in b.video_idx
+            ]
+            seg_cols = [
+                (j, all_phashes[j])
+                for p, b in sorted(cols.buckets.items())
+                if p <= seg.SEG_MAX_FRAMES
+                for j in b.video_idx
+            ]
+            out.extend(self._segment_route(seg_rows, seg_cols, min_int_similarity))
+
         # column bucket arrays are stacked and device-placed ONCE per
         # (bucket, route) and reused across every row bucket — rebuilding
         # them per row bucket re-uploads the whole corpus per bucket pair
@@ -244,8 +286,14 @@ class TpuSearchEngine:
         col_cache: dict = {}
         row_pm1_cache: dict = {}
         for pa, rb in rows.buckets.items():
-            r_idx, r_frames, r_counts = rows.bucket_arrays(pa)
             for pb, cb in cols.buckets.items():
+                if (
+                    use_segments
+                    and pa <= seg.SEG_MAX_FRAMES
+                    and pb <= seg.SEG_MAX_FRAMES
+                ):
+                    continue  # covered by the segment route
+                r_idx, r_frames, r_counts = rows.bucket_arrays(pa)
                 c_idx, c_frames, c_counts = col_arrays[pb]
                 work = len(r_idx) * len(c_idx) * pa * pb
                 fn = (
@@ -265,6 +313,88 @@ class TpuSearchEngine:
         out.extend(
             self._long_video_pairs(rows, row_phashes, cols, all_phashes, min_int_similarity)
         )
+        return out
+
+    def _segment_route(self, seg_rows, seg_cols, min_sim):
+        """Fixed-shape kernel route: greedy-packed frame blocks with
+        membership one-hots as data (ops/similarity_segments.py). One
+        compiled executable covers every video length <= SEG_MAX_FRAMES."""
+        from ..ops import similarity_segments as seg
+
+        if not seg_rows or not seg_cols:
+            return []
+        kernel = (
+            seg.similarity_segments_pallas
+            if jax.devices()[0].platform == "tpu"
+            else seg.similarity_segments_xla
+        )
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        row_blocks_per_tile = max(seg.TILE_ROW_BLOCKS, n_dev)
+
+        row_blocks = seg.pack_blocks(seg_rows, seg.ROW_FRAMES, seg.ROW_SLOTS)
+        col_chunks = seg.pack_blocks(seg_cols, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS)
+        chunks_per_tile = seg.TILE_COL_STEPS * seg.N_SPLIT
+
+        # column tiles to the device once (reused by every row tile)
+        col_tiles = []
+        for j0 in range(0, len(col_chunks), chunks_per_tile):
+            group = col_chunks[j0 : j0 + chunks_per_tile]
+            pm1, oh, cnt, smap = seg.stack_blocks(
+                group, chunks_per_tile, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS
+            )
+            n_real = int((smap >= 0).sum())
+            col_tiles.append((
+                smap,
+                n_real,
+                (self._put_cols(pm1), self._put_cols(oh), self._put_cols(cnt)),
+            ))
+
+        def row_tiles():
+            for i0 in range(0, len(row_blocks), row_blocks_per_tile):
+                group = row_blocks[i0 : i0 + row_blocks_per_tile]
+                pm1, oh, cnt, smap = seg.stack_blocks(
+                    group, row_blocks_per_tile, seg.ROW_FRAMES, seg.ROW_SLOTS
+                )
+                n_real = int((smap >= 0).sum())
+                yield smap, n_real, (
+                    self._put_rows(pm1),
+                    self._put_rows(oh),
+                    self._put_rows(cnt),
+                )
+
+        def compute(row_args, col_args):
+            rf, ro, rc = row_args
+            cf, co, cc = col_args
+            if self.mesh is not None:
+                return _sharded_segments_fn(self.mesh, kernel)(rf, ro, rc, cf, co, cc)
+            return kernel(rf, ro, rc, cf, co, cc)
+
+        out: list[tuple[int, int, int]] = []
+        inflight: deque = deque()
+        min_sim_dev = jnp.int32(min_sim)
+
+        def drain(cnt_dev, sim_dev, meta):
+            rmap, cmap, work = meta
+            if self._progress_cb is not None:
+                self._progress_done += work
+                self._progress_cb(self._progress_done, self._progress_total)
+            if int(cnt_dev) == 0:
+                return
+            sim = np.asarray(sim_dev)
+            for a, b in np.argwhere(sim >= min_sim):
+                ia, ib = int(rmap[a]), int(cmap[b])
+                if ia >= 0 and ib >= 0:
+                    out.append((ia, ib, int(sim[a, b])))
+
+        for rmap, rn, row_args in row_tiles():
+            for cmap, cn, col_args in col_tiles:
+                sim_dev = compute(row_args, col_args)
+                cnt = _hit_count(sim_dev, min_sim_dev)
+                inflight.append((cnt, sim_dev, (rmap, cmap, rn * cn)))
+                while len(inflight) >= self.MAX_TILES_IN_FLIGHT:
+                    drain(*inflight.popleft())
+        while inflight:
+            drain(*inflight.popleft())
         return out
 
     def _long_video_pairs(self, rows, row_phashes, cols, all_phashes, min_sim):
@@ -484,6 +614,26 @@ class TpuSearchEngine:
 # ---------------------------------------------------------------------------
 # Sharded (multi-chip) tile computation
 # ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_segments_fn(mesh, kernel_fn):
+    """Jitted shard_map wrapper for the fixed-shape segment kernel: row
+    arrays (pm1/onehot/counts) shard on the leading axis, col arrays are
+    replicated. Cached per (mesh, kernel)."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+    return jax.jit(
+        shard_map(
+            kernel_fn,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
+            out_specs=P(axis),
+            check_rep=False,
+        )
+    )
 
 
 @functools.lru_cache(maxsize=64)

@@ -88,3 +88,52 @@ def test_find_pairs_production_pallas_route_on_corpus(rng):
     assert got == expected
     n = len(phashes)
     assert (n - 1, n - 4, 100) in got  # planted dup found by the kernel
+
+
+def test_segment_kernel_matches_twin(rng):
+    """The fixed-shape segment kernel == its XLA twin, bit for bit, on
+    ragged packed tiles (TPU)."""
+    import jax.numpy as jnp
+
+    from hydrus_video_deduplicator_tpu.ops import similarity_segments as seg
+
+    items = []
+    for i in range(300):
+        nf = int(rng.choice([1, 2, 5, 8, 13, 40, 300]))
+        items.append((i, rng.integers(0, 256, (nf, 32), dtype=np.uint8).tobytes()))
+    items[7] = (7, items[3][1])  # dup
+
+    row_blocks = seg.pack_blocks(items, seg.ROW_FRAMES, seg.ROW_SLOTS)
+    col_chunks = seg.pack_blocks(items, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS)
+    rpm1, roh, rcnt, rmap = seg.stack_blocks(
+        row_blocks[: seg.TILE_ROW_BLOCKS], seg.TILE_ROW_BLOCKS, seg.ROW_FRAMES, seg.ROW_SLOTS
+    )
+    n_chunks = seg.TILE_COL_STEPS * seg.N_SPLIT
+    cpm1, coh, ccnt, cmap = seg.stack_blocks(
+        col_chunks[:n_chunks], n_chunks, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS
+    )
+    args = tuple(jnp.asarray(x) for x in (rpm1, roh, rcnt, cpm1, coh, ccnt))
+    got = np.asarray(seg.similarity_segments_pallas(*args))
+    want = np.asarray(seg.similarity_segments_xla(*args))
+    assert np.array_equal(got, want)
+    # the planted dup scores 100 at its packed slots
+    a = int(np.where(rmap == 7)[0][0])
+    b = int(np.where(cmap == 3)[0][0])
+    assert got[a, b] == 100
+
+
+def test_find_pairs_segment_route_on_tpu(rng):
+    """find_pairs through the real segment kernel on ragged data equals the
+    bucketed engine pair-for-pair."""
+    from hydrus_video_deduplicator_tpu.parallel.engine import TpuSearchEngine
+
+    vids = []
+    for i in range(200):
+        nf = int(rng.choice([1, 3, 8, 9, 30, 120]))
+        vids.append(rng.integers(0, 256, (nf, 32), dtype=np.uint8).tobytes())
+    vids[9] = vids[2]
+    vids[10] = b""
+    got = sorted(TpuSearchEngine(force_segments=True).find_pairs(vids, vids, 75))
+    want = sorted(TpuSearchEngine(force_segments=False).find_pairs(vids, vids, 75))
+    assert got == want
+    assert any(a == 2 and b == 9 for a, b, _ in got)

@@ -1,0 +1,87 @@
+"""Fixed-shape segment route: packing, twin math, engine equivalence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hydrus_video_deduplicator_tpu.ops import similarity_segments as seg
+from hydrus_video_deduplicator_tpu.parallel.engine import TpuSearchEngine
+
+
+def _ragged_corpus(rng, n, planted=True):
+    vids = []
+    for i in range(n):
+        nf = int(rng.choice([1, 2, 3, 5, 8, 9, 13, 30, 100]))
+        vids.append(rng.integers(0, 256, (nf, 32), dtype=np.uint8).tobytes())
+    if planted:
+        vids[4] = vids[1]  # dup within segment range
+        vids[10] = b""  # empty hash
+        # a >SEG_MAX video plus its duplicate (bucketed leftover route)
+        big = rng.integers(0, 256, (seg.SEG_MAX_FRAMES + 100, 32), dtype=np.uint8).tobytes()
+        vids[20] = big
+        vids[21] = big
+        # cross-group: a short video equal to the big one's prefix segment
+        vids[30] = big[: 8 * 32]
+    return vids
+
+
+def test_pack_blocks_shapes_and_maps(rng):
+    items = [(i, rng.integers(0, 256, (1 + i % 7, 32), dtype=np.uint8).tobytes()) for i in range(50)]
+    blocks = seg.pack_blocks(items, seg.ROW_FRAMES, seg.ROW_SLOTS)
+    assert blocks
+    seen = []
+    for b in blocks:
+        assert b.pm1.shape == (seg.ROW_FRAMES, 256)
+        assert b.onehot.shape == (seg.ROW_FRAMES, seg.ROW_SLOTS)
+        # every real slot's onehot column sums to its count
+        for s in range(seg.ROW_SLOTS):
+            if b.slot_map[s] >= 0:
+                assert b.onehot[:, s].sum() == b.counts[s, 0]
+                seen.append(int(b.slot_map[s]))
+    assert sorted(seen) == [i for i, _ in items]
+    # frame rows of a slot are that video's pm1 rows
+    i0, blob0 = items[0]
+    rows = blocks[0].pm1[: len(blob0) // 32]
+    assert np.array_equal(rows, seg.blob_to_pm1(blob0))
+
+
+def test_segments_twin_matches_bucketed_engine(rng):
+    """Segment route (XLA twin on CPU) == bucketed route, pair for pair,
+    on a ragged corpus with dups, an empty hash, and >SEG_MAX videos."""
+    vids = _ragged_corpus(rng, 120)
+    seg_eng = TpuSearchEngine(force_segments=True)
+    bucket_eng = TpuSearchEngine(force_segments=False)
+    got = sorted(seg_eng.find_pairs(vids, vids, 75))
+    want = sorted(bucket_eng.find_pairs(vids, vids, 75))
+    assert got == want
+    pairs = {(a, b) for a, b, _ in got if a != b}
+    assert (1, 4) in pairs and (20, 21) in pairs  # planted dups survive
+
+
+def test_segments_route_with_mesh(mesh, rng):
+    vids = _ragged_corpus(rng, 80)
+    local = TpuSearchEngine(force_segments=True)
+    sharded = TpuSearchEngine(force_segments=True, mesh=mesh)
+    assert sorted(local.find_pairs(vids, vids, 75)) == sorted(
+        sharded.find_pairs(vids, vids, 75)
+    )
+
+
+def test_segments_progress_runs_to_completion(rng):
+    vids = _ragged_corpus(rng, 60)
+    events = []
+    eng = TpuSearchEngine(force_segments=True)
+    eng.find_pairs(vids, vids, 75, progress=lambda d, t: events.append((d, t)))
+    assert events and events[-1][0] == events[-1][1]
+
+
+@pytest.fixture()
+def mesh():
+    import jax
+
+    from hydrus_video_deduplicator_tpu.parallel.mesh import build_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    return build_mesh()
