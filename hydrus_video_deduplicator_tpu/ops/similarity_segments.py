@@ -91,15 +91,27 @@ def _segment_kernel(a_ref, b_ref, oa_ref, ob_ref, fa_ref, fb_ref, out_ref):
         out_ref[:, s * CHUNK_SLOTS : (s + 1) * CHUNK_SLOTS] = sim
 
 
+def _onehot_from_slots(slot_ids: jnp.ndarray, n_slots: int) -> jnp.ndarray:
+    """Block-local membership one-hot built ON DEVICE from compact slot ids
+    (-1 = padding, matches no slot). Shipping dense one-hots from the host
+    costs ~128x more transfer than the id vector."""
+    return (slot_ids[:, None] == jnp.arange(n_slots, dtype=jnp.int32)[None, :]).astype(
+        jnp.int8
+    )
+
+
 @jax.jit
-def similarity_segments_pallas(a_pm1, oa, fa, b_pm1, ob, fb):
+def similarity_segments_pallas(a_pm1, slot_a, fa, b_pm1, slot_b, fb):
     """Slot-level similarity for packed segment tiles (TPU only).
 
-    a_pm1 [RA_F, 256] i8, oa [RA_F, ROW_SLOTS] i8, fa [RA_S, 1] i32 with
-    RA_F a multiple of ROW_FRAMES (RA_S = RA_F//ROW_FRAMES*ROW_SLOTS);
-    b_pm1 [CB_F, 256], ob [CB_F, CHUNK_SLOTS], fb [CB_S, 1] with CB_F a
-    multiple of STEP_FRAMES. Returns [RA_S, CB_S] int32 similarities.
+    a_pm1 [RA_F, 256] i8, slot_a [RA_F] i32 block-local slot ids (-1 pad),
+    fa [RA_S, 1] i32 with RA_F a multiple of ROW_FRAMES
+    (RA_S = RA_F//ROW_FRAMES*ROW_SLOTS); b_pm1 [CB_F, 256], slot_b [CB_F]
+    chunk-local ids, fb [CB_S, 1] with CB_F a multiple of STEP_FRAMES.
+    Returns [RA_S, CB_S] int32 similarities.
     """
+    oa = _onehot_from_slots(slot_a, ROW_SLOTS)
+    ob = _onehot_from_slots(slot_b, CHUNK_SLOTS)
     ra_f = a_pm1.shape[0]
     cb_f = b_pm1.shape[0]
     assert ra_f % ROW_FRAMES == 0 and cb_f % STEP_FRAMES == 0, (ra_f, cb_f)
@@ -135,9 +147,11 @@ def similarity_segments_pallas(a_pm1, oa, fa, b_pm1, ob, fb):
 
 
 @jax.jit
-def similarity_segments_xla(a_pm1, oa, fa, b_pm1, ob, fb):
+def similarity_segments_xla(a_pm1, slot_a, fa, b_pm1, slot_b, fb):
     """Plain-XLA twin of similarity_segments_pallas: identical signature,
     layout, and math; runs on any backend (CPU oracle / mock target)."""
+    oa = _onehot_from_slots(slot_a, ROW_SLOTS)
+    ob = _onehot_from_slots(slot_b, CHUNK_SLOTS)
     ra_f = a_pm1.shape[0]
     cb_f = b_pm1.shape[0]
     n_row_blocks = ra_f // ROW_FRAMES
@@ -181,7 +195,7 @@ class PackedBlock:
     """One fixed-shape block of packed videos."""
 
     pm1: np.ndarray  # [frames, 256] int8 (zero rows past content)
-    onehot: np.ndarray  # [frames, slots] int8
+    slot_ids: np.ndarray  # [frames] int32 block-local slot id, -1 padding
     counts: np.ndarray  # [slots, 1] int32 (0 for empty slots)
     slot_map: np.ndarray  # [slots] int64 corpus index, -1 for empty slots
 
@@ -212,16 +226,16 @@ def pack_blocks(
         pm1 = np.zeros((frames_per_block, BITS), dtype=np.int8)
         if cur_frames:
             pm1[:cur_frames] = np.concatenate(cur_rows, axis=0)
-        onehot = np.zeros((frames_per_block, slots_per_block), dtype=np.int8)
+        slot_ids = np.full((frames_per_block,), -1, dtype=np.int32)
         counts = np.zeros((slots_per_block, 1), dtype=np.int32)
         slot_map = np.full((slots_per_block,), -1, dtype=np.int64)
         f = 0
         for s, (idx, n) in enumerate(cur_slots):
-            onehot[f : f + n, s] = 1
+            slot_ids[f : f + n] = s
             counts[s, 0] = n
             slot_map[s] = idx
             f += n
-        blocks.append(PackedBlock(pm1, onehot, counts, slot_map))
+        blocks.append(PackedBlock(pm1, slot_ids, counts, slot_map))
         cur_rows, cur_frames, cur_slots = [], 0, []
 
     for idx, blob in items:
@@ -242,17 +256,18 @@ def pack_blocks(
 def stack_blocks(blocks: list[PackedBlock], n_blocks: int, frames: int, slots: int):
     """Stack (and pad with empty blocks) into tile arrays.
 
-    Returns (pm1 [n_blocks*frames, 256], onehot [n_blocks*frames, slots],
-    counts [n_blocks*slots, 1], slot_map [n_blocks*slots]).
+    Returns (pm1 [n_blocks*frames, 256], slot_ids [n_blocks*frames],
+    counts [n_blocks*slots, 1], slot_map [n_blocks*slots]). slot_ids stay
+    block-local: the kernel's one-hot blocks are per-block anyway.
     """
     assert len(blocks) <= n_blocks
     pm1 = np.zeros((n_blocks * frames, BITS), dtype=np.int8)
-    onehot = np.zeros((n_blocks * frames, slots), dtype=np.int8)
+    slot_ids = np.full((n_blocks * frames,), -1, dtype=np.int32)
     counts = np.zeros((n_blocks * slots, 1), dtype=np.int32)
     slot_map = np.full((n_blocks * slots,), -1, dtype=np.int64)
     for k, blk in enumerate(blocks):
         pm1[k * frames : (k + 1) * frames] = blk.pm1
-        onehot[k * frames : (k + 1) * frames] = blk.onehot
+        slot_ids[k * frames : (k + 1) * frames] = blk.slot_ids
         counts[k * slots : (k + 1) * slots] = blk.counts
         slot_map[k * slots : (k + 1) * slots] = blk.slot_map
-    return pm1, onehot, counts, slot_map
+    return pm1, slot_ids, counts, slot_map

@@ -33,11 +33,11 @@ def test_pack_blocks_shapes_and_maps(rng):
     seen = []
     for b in blocks:
         assert b.pm1.shape == (seg.ROW_FRAMES, 256)
-        assert b.onehot.shape == (seg.ROW_FRAMES, seg.ROW_SLOTS)
-        # every real slot's onehot column sums to its count
+        assert b.slot_ids.shape == (seg.ROW_FRAMES,)
+        # every real slot owns exactly its count of frame rows
         for s in range(seg.ROW_SLOTS):
             if b.slot_map[s] >= 0:
-                assert b.onehot[:, s].sum() == b.counts[s, 0]
+                assert (b.slot_ids == s).sum() == b.counts[s, 0]
                 seen.append(int(b.slot_map[s]))
     assert sorted(seen) == [i for i, _ in items]
     # frame rows of a slot are that video's pm1 rows
