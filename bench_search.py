@@ -50,29 +50,38 @@ def measure() -> dict:
     iters = 100 if on_tpu else 2
 
     if on_tpu:
-        # fused Pallas engine tile (the production TPU path)
+        # fixed-shape segment kernel (the production TPU route)
         import numpy as np_
 
-        from hydrus_video_deduplicator_tpu.ops.similarity_pallas import (
-            similarity_block_pallas,
-            unpack_pm1_host,
-        )
+        from hydrus_video_deduplicator_tpu.ops import similarity_segments as seg
 
-        rows_pm1 = jnp.asarray(unpack_pm1_host(np_.asarray(rows_packed)))
-        cols_pm1 = jnp.asarray(unpack_pm1_host(np_.asarray(cols_packed)))
-        fa = jnp.asarray(np_.full((TR, 1), PAD, np_.int32))
-        fb = jnp.asarray(np_.full((TC, 1), PAD, np_.int32))
+        items_r = [
+            (i, np_.asarray(rows_packed[i]).astype(">u4").tobytes()) for i in range(TR)
+        ]
+        items_c = [
+            (i, np_.asarray(cols_packed[i]).astype(">u4").tobytes()) for i in range(TC)
+        ]
+        rb = seg.pack_blocks(items_r, seg.ROW_FRAMES, seg.ROW_SLOTS)
+        cc = seg.pack_blocks(items_c, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS)
+        rpm1, rsl, rcnt, _ = seg.stack_blocks(
+            rb, seg.TILE_ROW_BLOCKS, seg.ROW_FRAMES, seg.ROW_SLOTS
+        )
+        nch = seg.TILE_COL_STEPS * seg.N_SPLIT
+        cpm1, csl, ccnt, _ = seg.stack_blocks(cc, nch, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS)
+        rsl_d = jnp.asarray(rsl)
+        rcnt_d = jnp.asarray(rcnt)
+        cols_args = tuple(jnp.asarray(x) for x in (cpm1, csl, ccnt))
 
         @jax.jit
         def chain(rp, carry):
             def body(i, c):
                 r = rp.at[0, 0].set(((c + i) % 2 * 2 - 1).astype(jnp.int8))
-                sim = similarity_block_pallas(r, fa, cols_pm1, fb, PAD, PAD)
+                sim = seg.similarity_segments_pallas(r, rsl_d, rcnt_d, *cols_args)
                 return c + jnp.sum(sim)
 
             return jax.lax.fori_loop(0, iters, body, carry)
 
-        bench_input = rows_pm1
+        bench_input = jnp.asarray(rpm1)
     else:
         from hydrus_video_deduplicator_tpu.parallel.engine import _tile_similarity
 
