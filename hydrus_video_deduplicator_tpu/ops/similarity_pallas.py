@@ -184,15 +184,20 @@ def unpack_pm1_host(packed: np.ndarray, counts: np.ndarray | None = None) -> np.
 
     counts: [V] true frame counts (frames at or past the count are zeroed).
     When None, every row is treated as real.
+
+    Bit order: bit j of little-endian u32 lane l is hash bit l*32 + j, i.e.
+    bit (b % 8) of blob byte (b // 8) — exactly np.unpackbits little order
+    on the raw bytes (C-speed; the u32 shift-broadcast formulation measured
+    ~66k frames/s, a host bottleneck at 1M-video scale).
     """
-    v, p, lanes = packed.shape
-    flat = packed.reshape(v * p, lanes)
-    bits = (
-        (flat[:, :, None] >> np.arange(32, dtype=np.uint32)[None, None, :]) & 1
-    ).astype(np.int8)
-    pm1 = (bits.reshape(v * p, BITS) << 1) - 1
+    v, p, _lanes = packed.shape
+    u8 = np.ascontiguousarray(packed).view(np.uint8).reshape(v * p, BITS // 8)
+    bits = np.unpackbits(u8, axis=1, bitorder="little")
+    # 0/1 -> -1/+1 without an astype copy: uint8 wraps 0*2-1 to 255 == -1
+    bits *= 2
+    bits -= 1
+    pm1 = bits.view(np.int8)
     if counts is not None:
-        idx = np.arange(v * p)
-        valid = (idx % p) < np.asarray(counts, np.int64)[idx // p]
-        pm1[~valid] = 0
+        invalid = np.arange(p)[None, :] >= np.asarray(counts, np.int64)[:, None]
+        pm1.reshape(v, p, BITS)[invalid] = 0
     return pm1
