@@ -67,7 +67,9 @@ def get_lib() -> ctypes.CDLL | None:
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        if not _SONAME.exists() and not _build():
+        # always invoke make (a no-op when up to date): an existing .so
+        # built from older sources must be rebuilt, not loaded silently
+        if not _build() and not _SONAME.exists():
             _load_failed = True
             return None
         try:

@@ -115,14 +115,20 @@ void dec_free(Decoder* d) {
     delete d;
 }
 
-// Python round() on the exact rational num/den: nearest, ties to even.
-// (The reference rounds a Fraction — vpdqpy.py:77.)
+// Python round() on the exact rational num/den (den > 0): nearest, ties to
+// even. (The reference rounds a Fraction — vpdqpy.py:77.) Uses floored
+// division so negative rationals round like Python, and compares the
+// remainder against den - rem so nothing can overflow.
 int64_t round_half_even(int64_t num, int64_t den) {
     int64_t q = num / den;
-    int64_t rem = num % den;
-    if (2 * rem > den) return q + 1;
-    if (2 * rem < den) return q;
-    return (q % 2 == 0) ? q : q + 1;  // tie
+    int64_t r = num % den;
+    if (r < 0) {  // -> floored division: r in [0, den)
+        q -= 1;
+        r += den;
+    }
+    if (r > den - r) return q + 1;
+    if (r < den - r) return q;
+    return (q % 2 == 0) ? q : q + 1;  // tie -> even
 }
 
 int compute_step(const AVRational& r) {
@@ -176,12 +182,14 @@ void* hvdd_open(const uint8_t* data, int64_t len, char* errbuf, int errlen) {
 
     constexpr int kBufSize = 1 << 16;
     uint8_t* iobuf = static_cast<uint8_t*>(av_malloc(kBufSize));
+    if (!iobuf) return fail("could not allocate IO buffer", d);
     d->avio = avio_alloc_context(iobuf, kBufSize, 0, &d->io, mem_read, nullptr, mem_seek);
     if (!d->avio) {
         av_free(iobuf);
         return fail("could not allocate AVIO context", d);
     }
     d->fmt = avformat_alloc_context();
+    if (!d->fmt) return fail("could not allocate format context", d);
     d->fmt->pb = d->avio;
     int ret = avformat_open_input(&d->fmt, nullptr, nullptr, nullptr);
     if (ret < 0) return fail("could not open input: " + av_errstr(ret), d);
@@ -212,6 +220,7 @@ void* hvdd_open(const uint8_t* data, int64_t len, char* errbuf, int errlen) {
 
     d->pkt = av_packet_alloc();
     d->frame = av_frame_alloc();
+    if (!d->pkt || !d->frame) return fail("could not allocate packet/frame", d);
     d->step = compute_step(st->avg_frame_rate);
     return d;
 }
@@ -353,6 +362,7 @@ int hvdd_encode(const char* path, const char* codec_name, int w, int h,
     const AVCodec* enc = avcodec_find_encoder_by_name(codec_name);
     if (!enc) return fail(std::string("no encoder: ") + codec_name);
     ctx = avcodec_alloc_context3(enc);
+    if (!ctx) return fail("could not allocate encoder context");
     ctx->width = w;
     ctx->height = h;
     ctx->time_base = pts_ms ? AVRational{1, 1000} : AVRational{fps_den, fps_num};
@@ -393,12 +403,14 @@ int hvdd_encode(const char* path, const char* codec_name, int w, int h,
     if (ret < 0) return fail("write header: " + av_errstr(ret));
 
     frame = av_frame_alloc();
+    if (!frame) return fail("could not allocate frame");
     frame->width = w;
     frame->height = h;
     frame->format = ctx->pix_fmt;
     ret = av_frame_get_buffer(frame, 0);
     if (ret < 0) return fail("frame buffer: " + av_errstr(ret));
     pkt = av_packet_alloc();
+    if (!pkt) return fail("could not allocate packet");
     sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, ctx->pix_fmt,
                          SWS_BICUBIC, nullptr, nullptr, nullptr);
     if (!sws) return fail("swscale context");

@@ -80,7 +80,9 @@ def get_lib() -> ctypes.CDLL | None:
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        if not _SONAME.exists() and not _build():
+        # always invoke make (a no-op when up to date): an existing .so
+        # built from older sources must be rebuilt, not loaded silently
+        if not _build() and not _SONAME.exists():
             _load_failed = True
             return None
         try:
@@ -195,6 +197,8 @@ def encode_video(
         raise LibavDecodeError("native decode library unavailable")
     arr = np.ascontiguousarray(np.stack(list(frames)).astype(np.uint8))
     n, h, w, _ = arr.shape
+    if pts_ms is not None and len(pts_ms) != n:
+        raise ValueError(f"pts_ms has {len(pts_ms)} entries for {n} frames")
     pts = (ctypes.c_int64 * n)(*pts_ms) if pts_ms is not None else None
     errbuf = ctypes.create_string_buffer(512)
     ret = lib.hvdd_encode(

@@ -210,14 +210,16 @@ def blob_to_pm1(blob: bytes) -> np.ndarray:
 def pack_blocks(
     items: "list[tuple[int, bytes]]", frames_per_block: int, slots_per_block: int
 ) -> list[PackedBlock]:
-    """Greedy first-fit packing of (corpus_index, blob) into fixed blocks.
+    """Greedy next-fit packing of (corpus_index, blob) into fixed blocks.
 
     Every video must have 1..frames_per_block frames (callers route longer
     videos elsewhere). Items are packed in order; a block closes when the
-    next video exceeds its remaining frames or slots. The ±1 bit-unpack is
-    vectorized over the whole corpus (per-video unpacking measured ~30k
-    videos/s — a serial bottleneck at 1M-video scale; this path packs
-    >300k/s).
+    next video exceeds its remaining frames or slots (a closed block is
+    never revisited — callers that want dense blocks should present items
+    roughly sorted by length, as the engine does). The ±1 bit-unpack is
+    vectorized per block (per-video unpacking was a serial bottleneck at
+    corpus scale; per-block keeps the speed with O(block) extra memory —
+    a whole-corpus unpack would transiently hold ~10 GB at 1M videos).
     """
     # pass 1: slot/block assignment (pure integer bookkeeping)
     plans: list[list[tuple[int, int]]] = []  # per block: [(corpus idx, n), ...]
@@ -234,28 +236,20 @@ def pack_blocks(
     if cur:
         plans.append(cur)
 
-    # pass 2: one vectorized unpack of every frame (frames are independent
-    # 32-byte units, so the blobs concatenate)
-    total_frames = sum(len(blob) // 32 for _, blob in items)
-    if total_frames:
-        packed = ops_sim.blobs_to_packed(b"".join(blob for _, blob in items))
-        all_pm1 = unpack_pm1_host(
-            packed.reshape(1, total_frames, 8), np.asarray([total_frames])
-        )
-    else:
-        all_pm1 = np.zeros((0, BITS), dtype=np.int8)
-
-    # pass 3: slice into blocks
+    # pass 2: per-block vectorized unpack (frames are independent 32-byte
+    # units, so a block's blobs concatenate)
+    blob_of = dict(items)
     blocks: list[PackedBlock] = []
-    src = 0
     for plan in plans:
         pm1 = np.zeros((frames_per_block, BITS), dtype=np.int8)
         slot_ids = np.full((frames_per_block,), -1, dtype=np.int32)
         counts = np.zeros((slots_per_block, 1), dtype=np.int32)
         slot_map = np.full((slots_per_block,), -1, dtype=np.int64)
         n_block = sum(n for _, n in plan)
-        pm1[:n_block] = all_pm1[src : src + n_block]
-        src += n_block
+        packed = ops_sim.blobs_to_packed(b"".join(blob_of[idx] for idx, _ in plan))
+        pm1[:n_block] = unpack_pm1_host(
+            packed.reshape(1, n_block, 8), np.asarray([n_block])
+        )
         f = 0
         for s, (idx, n) in enumerate(plan):
             slot_ids[f : f + n] = s

@@ -37,6 +37,8 @@ def test_round_rate_matches_python_round_fraction():
     rng = np.random.default_rng(7)
     cases += [(int(n), int(d)) for n, d in zip(
         rng.integers(1, 100000, 200), rng.integers(1, 1000, 200))]
+    # negative rationals must floor-divide like Python (not C-truncate)
+    cases += [(-3, 2), (-1, 2), (-5, 2), (-7, 3), (-30000, 1001)]
     for num, den in cases:
         assert nd.round_rate(num, den) == round(Fraction(num, den)), (num, den)
 
