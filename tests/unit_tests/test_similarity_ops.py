@@ -121,3 +121,55 @@ def test_engine_long_videos_and_mixed_buckets(rng):
                 ref.add((i, j))
     assert got == ref
     assert (6, 7) in got  # the tail-duplicate long pair was found
+
+
+def test_engine_property_matches_oracle_hypothesis():
+    """Property test: for arbitrary small corpora (ragged lengths, empties,
+    near-duplicates), both engine routes return exactly the pair set the
+    native matchHashBytes oracle computes by brute force."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from hydrus_video_deduplicator_tpu.parallel.engine import TpuSearchEngine
+    from hydrus_video_deduplicator_tpu.vpdq import matchHashBytes
+
+    @st.composite
+    def corpus(draw):
+        rng = np.random.default_rng(draw(st.integers(0, 2**31)))
+        n = draw(st.integers(2, 14))
+        vids = []
+        for _ in range(n):
+            kind = draw(st.integers(0, 3))
+            if kind == 0:
+                vids.append(b"")  # empty hash
+            elif kind == 1 and vids:  # exact duplicate of an earlier video
+                vids.append(vids[draw(st.integers(0, len(vids) - 1))])
+            elif kind == 2 and any(vids):  # near-duplicate: flip a few bits
+                src = next((v for v in reversed(vids) if v), None)
+                if src is None:
+                    vids.append(b"")
+                    continue
+                arr = bytearray(src)
+                for _ in range(draw(st.integers(0, 6))):
+                    arr[draw(st.integers(0, len(arr) - 1))] ^= 1 << draw(st.integers(0, 7))
+                vids.append(bytes(arr))
+            else:
+                nf = draw(st.integers(1, 9))
+                vids.append(rng.integers(0, 256, (nf, 32), dtype=np.uint8).tobytes())
+        return vids
+
+    @settings(max_examples=25, deadline=None)
+    @given(corpus(), st.integers(1, 100))
+    def check(vids, min_sim):
+        expected = sorted(
+            (i, j, int(matchHashBytes(a, b)))
+            for i, a in enumerate(vids)
+            for j, b in enumerate(vids)
+            if a and b and int(matchHashBytes(a, b)) >= min_sim
+        )
+        for force in (False, True):
+            eng = TpuSearchEngine(tile_rows=4, tile_cols=4, force_segments=force)
+            got = sorted(eng.find_pairs(vids, vids, min_sim))
+            assert got == expected, (force, min_sim)
+
+    check()
