@@ -207,11 +207,16 @@ def test_dedupe_params_reach_orchestrator(gui_module, monkeypatch):
         search_backend="tpu",
         hash_backend="tpu",
         sampling="scene",
+        decode_backend="legacy",
     )
     worker.run_dedupe(params)
     assert done == [(True, 7)]
     assert captured["search_backend"] == "tpu"
     assert captured["hash_backend"] == "tpu"
     assert captured["sampling"] == "scene"
+    import os
+
+    assert os.environ.get("HVD_DECODE_BACKEND") == "legacy"
+    os.environ.pop("HVD_DECODE_BACKEND", None)
     assert captured["skip_hashing"] is True
     assert FakeDeduper.threshold == 80.0
