@@ -1,18 +1,23 @@
 """TPU all-pairs VPDQ similarity search engine.
 
 This replaces both the reference's per-pair native ``matchHash`` and its
-VP-tree search (SURVEY.md §7 step 5) with exact, corpus-scale similarity:
+VP-tree search (SURVEY.md §7 step 5) with exact, corpus-scale similarity.
+Frame Hamming distances come from one int8 MXU matmul over ±1 rows
+(dot = 256 - 2d); per-pair integer similarity is the min of the two
+directional match fractions — the exact semantics of native matchHash,
+including empty-hash and padding handling. Two device routes:
 
-1. Videos are bucketed by frame count (padded to the next power of two), so
-   every device computation has static shapes.
-2. Frame hashes live on device bit-packed as [V, P, 8] uint32; each tile
-   unpacks to {-1,+1} int8 and computes all-pairs frame Hamming distances
-   via one int8 MXU matmul (dot = 256 - 2d).
-3. A tile's frame-distance block reduces to integer video-level similarity
-   (min of the two directional match fractions — the exact semantics of
-   native matchHash, including empty-hash and padding handling).
-4. Tiles stream over (row-bucket x col-bucket) pairs; hits come back to the
-   host as small int32 matrices and are turned into (row, col, sim) pairs.
+1. **Segment route** (default on TPU, ops/similarity_segments.py): videos
+   up to 512 frames pack greedily into fixed-shape frame blocks with
+   membership one-hots as data — ONE compiled kernel for every length and
+   no power-of-two padding.
+2. **Bucketed route** (CPU + 513..1024-frame videos): videos bucketed by
+   frame count (padded to the next power of two) so every computation has
+   static shapes; XLA tiles or the bucketed Pallas kernel per bucket pair.
+
+Longer videos are compared exactly on the host (threaded native
+matchHashBytes). Tiles stream with bounded in-flight results and a
+device-side hit-count gate; hits come back as (row, col, sim) pairs.
 
 Brute force is strictly more correct than the VP-tree (the tree assumes a
 metric; VPDQ similarity is not one), so pair sets can only gain pairs the
@@ -159,9 +164,9 @@ def _pad_rows(arr: np.ndarray, to: int) -> np.ndarray:
 class TpuSearchEngine:
     """Exact all-pairs similarity search over packed VPDQ hashes.
 
-    On TPU the fused Pallas kernel (ops/similarity_pallas.py) computes each
-    tile (~770M video pairs/s on one v5e chip); elsewhere the XLA tile path
-    is used. Results are identical.
+    On TPU the fused kernels compute each tile (~1.4G video pairs/s / ~88G
+    frame comparisons/s on one v5e chip); elsewhere the XLA tile path is
+    used. Results are identical across all routes.
     """
 
     #: use the fused Pallas kernel only when a bucket pair has at least this

@@ -40,6 +40,7 @@ def _compile_shared(sources, out_name, include_dirs=(), libraries=(), extra_args
         objs,
         str(NATIVE / out_name),
         libraries=list(libraries),
+        target_lang="c++",  # link with the C++ driver (libstdc++/libc++)
     )
 
 

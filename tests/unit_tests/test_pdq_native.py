@@ -134,3 +134,4 @@ def test_pack_unpack_roundtrip(rng):
     blob = pdq_math.pack_bits_to_hash(bits)
     assert np.array_equal(pdq_math.unpack_hash_to_bits(blob), bits)
     assert len(blob) == 32
+

@@ -72,3 +72,19 @@ def test_config_json_array_validation():
         config.validate_json_array_env_var('{"not": "array"}', "x")
     with pytest.raises(config.InvalidEnvironmentVariable):
         config.validate_json_array_env_var("not json", "x")
+
+
+def test_native_must_load_when_toolchain_exists():
+    """Guard against silent skip cascades: if a C++ toolchain is present,
+    the native library must actually build AND load (a mislinked .so once
+    turned 20 bit-exactness tests into silent skips). Lives here, outside
+    test_pdq_native's module-level skipif, so it FAILS rather than skips."""
+    import shutil
+
+    import pytest
+
+    from hydrus_video_deduplicator_tpu import native
+
+    if shutil.which("g++") is None and shutil.which("cc") is None:
+        pytest.skip("no C++ toolchain")
+    assert native.is_available(), "toolchain present but native lib failed to load"
