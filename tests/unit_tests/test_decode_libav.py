@@ -147,3 +147,22 @@ def test_concurrent_decoders_are_deterministic():
         assert len(frames) == len(serial)
         for a, b in zip(frames, serial):
             assert np.array_equal(a, b)
+
+
+def test_odd_dimensions_decode_and_hash():
+    """Arbitrary (odd) source dimensions through the reference decode path:
+    swscale POINT handles any WxH -> 512x512 (mjpeg allows odd dims)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 255, (23, 37, 3)).astype(np.uint8)
+    frames = [np.roll(base, i, axis=1) for i in range(6)]
+    import tempfile
+
+    path = tempfile.mktemp(suffix=".avi")
+    nd.encode_video(path, "mjpeg", frames, 2, 1)
+    out = list(extract_frames(Path(path).read_bytes()))
+    assert len(out) == 3  # 6 frames at 2 fps -> step 2
+    assert out[0].shape == (512, 512, 3)
+    h = compute_phash(Path(path).read_bytes())
+    assert len(h) <= 3
