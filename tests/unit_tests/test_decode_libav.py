@@ -166,3 +166,21 @@ def test_odd_dimensions_decode_and_hash():
     assert out[0].shape == (512, 512, 3)
     h = compute_phash(Path(path).read_bytes())
     assert len(h) <= 3
+
+
+def test_audio_only_file_raises_reference_message():
+    """A file with no video stream fails exactly like the reference
+    (vpdqpy.py:63-66: 'Video stream not found.')."""
+    import struct
+
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(nd.LibavDecodeError, match="Video stream not found"):
+        nd.LibavDecoder(wav)
+    from hydrus_video_deduplicator_tpu.decode import DecodeError
+
+    with pytest.raises(DecodeError):
+        list(extract_frames(wav))
