@@ -144,6 +144,23 @@ class DuplicateStatus(_IntEnum):
 
 
 @enum.unique
+class TagAction(_IntEnum):
+    ADD = 0
+    DELETE = 1
+    PEND = 2
+    RESCIND_PENDING = 3
+    PETITION = 4
+    RESCIND_PETITION = 5
+
+
+class URLType(_IntEnum):
+    POST_URL = 0
+    FILE_URL = 2
+    GALLERY_URL = 3
+    WATCHABLE_URL = 4
+    UNKNOWN_URL = 5
+
+
 class PageType(_IntEnum):
     GALLERY_DOWNLOADER = 1
     SIMPLE_DOWNLOADER = 2
@@ -327,7 +344,180 @@ class Client:
             payload["hashes"] = list(hashes)
         self._request("POST", "/manage_file_relationships/remove_potentials", json=payload)
 
+    # -- adding files --------------------------------------------------------
+
+    def add_file(self, path_or_bytes: "str | bytes") -> dict[str, Any]:
+        """Import a file: raw bytes, or a path the *client machine* can read."""
+        if isinstance(path_or_bytes, (bytes, bytearray)):
+            return self._request(
+                "POST",
+                "/add_files/add_file",
+                data=bytes(path_or_bytes),
+                headers={"Content-Type": "application/octet-stream"},
+            ).json()
+        return self._request(
+            "POST", "/add_files/add_file", json={"path": str(path_or_bytes)}
+        ).json()
+
+    def delete_files(
+        self,
+        hashes: "Iterable[str] | None" = None,
+        file_ids: "Iterable[int] | None" = None,
+        file_service_keys: "Iterable[str] | None" = None,
+        reason: str | None = None,
+    ) -> None:
+        payload: dict[str, Any] = {}
+        if hashes is not None:
+            payload["hashes"] = list(hashes)
+        if file_ids is not None:
+            payload["file_ids"] = list(file_ids)
+        if file_service_keys is not None:
+            payload["file_service_keys"] = list(file_service_keys)
+        if reason is not None:
+            payload["reason"] = reason
+        self._request("POST", "/add_files/delete_files", json=payload)
+
+    def undelete_files(
+        self,
+        hashes: "Iterable[str] | None" = None,
+        file_ids: "Iterable[int] | None" = None,
+        file_service_keys: "Iterable[str] | None" = None,
+    ) -> None:
+        payload: dict[str, Any] = {}
+        if hashes is not None:
+            payload["hashes"] = list(hashes)
+        if file_ids is not None:
+            payload["file_ids"] = list(file_ids)
+        if file_service_keys is not None:
+            payload["file_service_keys"] = list(file_service_keys)
+        self._request("POST", "/add_files/undelete_files", json=payload)
+
+    # -- tags ----------------------------------------------------------------
+
+    def add_tags(
+        self,
+        hashes: "Iterable[str] | None" = None,
+        file_ids: "Iterable[int] | None" = None,
+        service_keys_to_tags: "Mapping[str, Iterable[str]] | None" = None,
+        service_keys_to_actions_to_tags: "Mapping[str, Mapping[str, Iterable[str]]] | None" = None,
+    ) -> None:
+        payload: dict[str, Any] = {}
+        if hashes is not None:
+            payload["hashes"] = list(hashes)
+        if file_ids is not None:
+            payload["file_ids"] = list(file_ids)
+        if service_keys_to_tags is not None:
+            payload["service_keys_to_tags"] = {
+                k: list(v) for k, v in service_keys_to_tags.items()
+            }
+        if service_keys_to_actions_to_tags is not None:
+            payload["service_keys_to_actions_to_tags"] = {
+                k: {a: list(t) for a, t in v.items()}
+                for k, v in service_keys_to_actions_to_tags.items()
+            }
+        self._request("POST", "/add_tags/add_tags", json=payload)
+
+    def search_tags(
+        self, search: str, tag_service_key: str | None = None
+    ) -> dict[str, Any]:
+        params: dict[str, Any] = {"search": search}
+        if tag_service_key is not None:
+            params["tag_service_key"] = tag_service_key
+        return self._request("GET", "/add_tags/search_tags", params=params).json()
+
+    # -- urls ----------------------------------------------------------------
+
+    def get_url_info(self, url: str) -> dict[str, Any]:
+        return self._request("GET", "/add_urls/get_url_info", params={"url": url}).json()
+
+    def get_url_files(self, url: str) -> dict[str, Any]:
+        return self._request("GET", "/add_urls/get_url_files", params={"url": url}).json()
+
+    def add_url(
+        self,
+        url: str,
+        destination_page_key: str | None = None,
+        destination_page_name: str | None = None,
+        show_destination_page: bool | None = None,
+        service_keys_to_additional_tags: "Mapping[str, Iterable[str]] | None" = None,
+    ) -> dict[str, Any]:
+        payload: dict[str, Any] = {"url": url}
+        if destination_page_key is not None:
+            payload["destination_page_key"] = destination_page_key
+        if destination_page_name is not None:
+            payload["destination_page_name"] = destination_page_name
+        if show_destination_page is not None:
+            payload["show_destination_page"] = show_destination_page
+        if service_keys_to_additional_tags is not None:
+            payload["service_keys_to_additional_tags"] = {
+                k: list(v) for k, v in service_keys_to_additional_tags.items()
+            }
+        return self._request("POST", "/add_urls/add_url", json=payload).json()
+
+    # -- notes ---------------------------------------------------------------
+
+    def set_notes(
+        self,
+        notes: "Mapping[str, str]",
+        hash_: str | None = None,
+        file_id: int | None = None,
+    ) -> None:
+        payload: dict[str, Any] = {"notes": dict(notes)}
+        if hash_ is not None:
+            payload["hash"] = hash_
+        if file_id is not None:
+            payload["file_id"] = file_id
+        self._request("POST", "/add_notes/set_notes", json=payload)
+
+    def delete_notes(
+        self,
+        note_names: "Iterable[str]",
+        hash_: str | None = None,
+        file_id: int | None = None,
+    ) -> None:
+        payload: dict[str, Any] = {"note_names": list(note_names)}
+        if hash_ is not None:
+            payload["hash"] = hash_
+        if file_id is not None:
+            payload["file_id"] = file_id
+        self._request("POST", "/add_notes/delete_notes", json=payload)
+
+    # -- relationships (extended) ---------------------------------------------
+
+    def get_file_relationships(
+        self, hashes: "Iterable[str] | None" = None, file_ids: "Iterable[int] | None" = None
+    ) -> dict[str, Any]:
+        params: dict[str, Any] = {}
+        if hashes is not None:
+            params["hashes"] = _jdump(hashes)
+        if file_ids is not None:
+            params["file_ids"] = _jdump(file_ids)
+        return self._request(
+            "GET", "/manage_file_relationships/get_file_relationships", params=params
+        ).json()
+
+    def set_kings(
+        self, hashes: "Iterable[str] | None" = None, file_ids: "Iterable[int] | None" = None
+    ) -> None:
+        payload: dict[str, Any] = {}
+        if hashes is not None:
+            payload["hashes"] = list(hashes)
+        if file_ids is not None:
+            payload["file_ids"] = list(file_ids)
+        self._request("POST", "/manage_file_relationships/set_kings", json=payload)
+
+    # -- session -------------------------------------------------------------
+
+    def get_session_key(self) -> dict[str, Any]:
+        return self._request("GET", "/session_key").json()
+
     # -- pages -------------------------------------------------------------
+
+    def get_page_info(self, page_key: str, simple: bool | None = None) -> dict[str, Any]:
+        params: dict[str, Any] = {"page_key": page_key}
+        if simple is not None:
+            params["simple"] = _jdump(simple)
+        return self._request("GET", "/manage_pages/get_page_info", params=params).json()
 
     def get_pages(self) -> dict[str, Any]:
         return self._request("GET", "/manage_pages/get_pages").json()

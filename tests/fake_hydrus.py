@@ -32,6 +32,12 @@ class FakeHydrus:
         self.relationships: set[tuple[str, str]] = set()  # unordered pairs
         self.relationship_posts: list[dict] = []
         self.page_additions: list[tuple[str, str]] = []  # (page_key, hash)
+        self.deleted: dict[str, bytes] = {}
+        self.tags: dict[str, set] = {}
+        self.notes: dict[str, dict] = {}
+        self.urls: dict[str, list] = {}
+        self.url_adds: list[str] = []
+        self.kings: list[str] = []
         self.requests_seen: list[str] = []
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -122,6 +128,72 @@ class FakeHydrus:
                     return self._send(
                         200, {"potential_duplicates_count": len(fake.relationships)}
                     )
+                if path == "/add_tags/search_tags":
+                    needle = params.get("search", "")
+                    found = sorted(
+                        t for tags in fake.tags.values() for t in tags if needle in t
+                    )
+                    return self._send(
+                        200,
+                        {"tags": [{"value": t, "count": 1} for t in found]},
+                    )
+                if path == "/add_urls/get_url_info":
+                    return self._send(
+                        200,
+                        {
+                            "normalised_url": params["url"],
+                            "url_type": 5,
+                            "url_type_string": "unknown url",
+                            "match_name": "unknown url",
+                            "can_parse": False,
+                        },
+                    )
+                if path == "/add_urls/get_url_files":
+                    url = params["url"]
+                    return self._send(
+                        200,
+                        {
+                            "normalised_url": url,
+                            "url_file_statuses": [
+                                {"status": 2, "hash": h, "note": "url recognised"}
+                                for h, urls in fake.urls.items()
+                                if url in urls
+                            ],
+                        },
+                    )
+                if path == "/manage_file_relationships/get_file_relationships":
+                    hashes = json.loads(params.get("hashes", "[]"))
+                    out = {}
+                    for h in hashes:
+                        rel = sorted(
+                            b if a == h else a
+                            for a, b in fake.relationships
+                            if h in (a, b)
+                        )
+                        out[h] = {
+                            "is_king": True,
+                            "king": h,
+                            "king_is_on_file_domain": True,
+                            "king_is_local": True,
+                            "0": rel,  # potential duplicates
+                            "1": [], "3": [], "8": [],
+                        }
+                    return self._send(200, {"file_relationships": out})
+                if path == "/session_key":
+                    return self._send(200, {"session_key": "ab" * 32})
+                if path == "/manage_pages/get_page_info":
+                    return self._send(
+                        200,
+                        {
+                            "page_info": {
+                                "name": "failed",
+                                "page_key": params["page_key"],
+                                "page_type": 6,
+                                "management": {},
+                                "media": {"num_files": len(fake.page_additions)},
+                            }
+                        },
+                    )
                 if path == "/manage_pages/get_pages":
                     return self._send(
                         200,
@@ -149,7 +221,11 @@ class FakeHydrus:
                 if not self._check_key():
                     return
                 length = int(self.headers.get("Content-Length", 0))
-                payload = json.loads(self.rfile.read(length) or b"{}")
+                raw_body = self.rfile.read(length)
+                if self.headers.get("Content-Type", "").startswith("application/octet-stream"):
+                    payload = {}
+                else:
+                    payload = json.loads(raw_body or b"{}")
                 if path == "/manage_file_relationships/set_file_relationships":
                     for rel in payload["relationships"]:
                         fake.relationship_posts.append(rel)
@@ -168,6 +244,47 @@ class FakeHydrus:
                 if path == "/manage_pages/add_files":
                     for h in payload.get("hashes", []):
                         fake.page_additions.append((payload["page_key"], h))
+                    return self._send(200, {})
+                if path == "/add_files/add_file":
+                    data = raw_body
+                    h = sha256_hex(data)
+                    status = 4 if not data else (2 if h in fake.files else 1)
+                    if data:
+                        fake.files[h] = data
+                    return self._send(
+                        200, {"status": status, "hash": h, "note": ""}
+                    )
+                if path == "/add_files/delete_files":
+                    for h in payload.get("hashes", []):
+                        if h in fake.files:
+                            fake.deleted[h] = fake.files.pop(h)
+                    return self._send(200, {})
+                if path == "/add_files/undelete_files":
+                    for h in payload.get("hashes", []):
+                        if h in fake.deleted:
+                            fake.files[h] = fake.deleted.pop(h)
+                    return self._send(200, {})
+                if path == "/add_tags/add_tags":
+                    for h in payload.get("hashes", []):
+                        for key, tags in payload.get("service_keys_to_tags", {}).items():
+                            fake.tags.setdefault(h, set()).update(tags)
+                    return self._send(200, {})
+                if path == "/add_urls/add_url":
+                    fake.url_adds.append(payload["url"])
+                    return self._send(
+                        200,
+                        {"human_result_text": "queued", "normalised_url": payload["url"]},
+                    )
+                if path == "/add_notes/set_notes":
+                    fake.notes.setdefault(payload.get("hash"), {}).update(payload["notes"])
+                    return self._send(200, {"notes": payload["notes"]})
+                if path == "/add_notes/delete_notes":
+                    kept = fake.notes.get(payload.get("hash"), {})
+                    for name in payload.get("note_names", []):
+                        kept.pop(name, None)
+                    return self._send(200, {})
+                if path == "/manage_file_relationships/set_kings":
+                    fake.kings.extend(payload.get("hashes", []))
                     return self._send(200, {})
                 return self._send(404, {"error": f"unhandled POST {path}"})
 
