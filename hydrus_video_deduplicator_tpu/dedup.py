@@ -211,6 +211,9 @@ class HydrusVideoDeduplicator:
         search_backend: str = "auto",  # "auto" | "tree" | "tpu"
         hash_backend: str = "native",  # "native" | "tpu"
         sampling: str = "uniform",  # "uniform" (reference parity) | "scene"
+        rerank: str = "none",  # "none" | "clip" (stretch goal: embedding gate)
+        rerank_weights: str | None = None,
+        rerank_threshold: float = 0.85,
     ):
         self.db = db
         self.client = client
@@ -226,6 +229,32 @@ class HydrusVideoDeduplicator:
         self.search_backend = search_backend
         self.hash_backend = hash_backend
         self.sampling = sampling
+        self.reranker = None
+        if rerank == "clip":
+            if not rerank_weights:
+                raise ValueError("--rerank clip requires --rerank-weights")
+            from .rerank import ClipReranker
+
+            self.reranker = ClipReranker(
+                rerank_weights, threshold=rerank_threshold, sampling=sampling
+            )
+        elif rerank != "none":
+            raise ValueError(f"unknown rerank mode: {rerank!r}")
+
+    def _pair_passes_rerank(self, hash_a: str, hash_b: str) -> bool:
+        """Embedding gate for a candidate pair (always True when the
+        rerank stage is disabled)."""
+        if self.reranker is None:
+            return True
+        return self.reranker.pair_passes(hash_a, hash_b, self.client.get_video)
+
+    def _print_rerank_summary(self) -> None:
+        if self.reranker is not None and self.reranker.pairs_checked:
+            print(
+                f"[blue] Rerank: {self.reranker.pairs_rejected} of"
+                f" {self.reranker.pairs_checked} candidate pairs rejected by"
+                f" the embedding gate."
+            )
 
     @staticmethod
     def _device_mesh():
@@ -322,6 +351,7 @@ class HydrusVideoDeduplicator:
                 else:
                     print("[yellow] Searching for duplicates was interrupted! Progress was saved.")
 
+        self._print_rerank_summary()
         post_dedupe_count = self.client.get_potential_duplicate_count_hydrus()
         new_count = post_dedupe_count - pre_dedupe_count
         if new_count > 0:
@@ -653,6 +683,8 @@ class HydrusVideoDeduplicator:
                 for similar_hash_id, _distance in result:
                     if hash_id != similar_hash_id:
                         file_hash_b = self.db.get_file_hash(similar_hash_id)
+                        if not self._pair_passes_rerank(file_hash_a, file_hash_b):
+                            continue
                         log.info('Similar files found: "%s" and "%s"', file_hash_a, file_hash_b)
                         self.mark_videos_as_duplicates(file_hash_a, file_hash_b)
                         num_similar_pairs += 1
@@ -739,6 +771,7 @@ class HydrusVideoDeduplicator:
         MARK_BATCH = 256
         num_similar_pairs = 0
         marked: set[tuple[int, int]] = set()
+        rejected: set[tuple[int, int]] = set()
         pending: list[dict] = []
 
         def post_pending():
@@ -764,17 +797,22 @@ class HydrusVideoDeduplicator:
                 if hash_a == hash_b:
                     pbar.update(1)
                     continue
-                num_similar_pairs += 1
                 key = (min(hash_a, hash_b), max(hash_a, hash_b))
+                if key in rejected:
+                    pbar.update(1)
+                    continue
                 if key not in marked:
+                    fh_a = self.db.get_file_hash(hash_a)
+                    fh_b = self.db.get_file_hash(hash_b)
+                    if not self._pair_passes_rerank(fh_a, fh_b):
+                        rejected.add(key)  # neither direction is counted
+                        pbar.update(1)
+                        continue
                     marked.add(key)
-                    pending.append(
-                        self._relationship_payload(
-                            self.db.get_file_hash(hash_a), self.db.get_file_hash(hash_b)
-                        )
-                    )
+                    pending.append(self._relationship_payload(fh_a, fh_b))
                     if len(pending) >= MARK_BATCH:
                         post_pending()
+                num_similar_pairs += 1
                 pbar.update(1)
         post_pending()
         for i, hash_id in enumerate(files, start=1):

@@ -79,6 +79,9 @@ def main(
     hash_backend: str = "native",
     sampling: str = "uniform",
     decode_backend: str | None = None,
+    rerank: str = "none",
+    rerank_weights: str | None = None,
+    rerank_threshold: float = 0.85,
 ) -> int:
     """Run the deduplicator; returns the number of similar pairs found."""
     if decode_backend is not None:
@@ -92,6 +95,9 @@ def main(
             print(f"[red] ERROR: Invalid decode backend: {decode_backend!r}.")
             raise SystemExit(1)
         os.environ[DECODE_BACKEND_ENV] = decode_backend
+    if rerank == "clip" and (not rerank_weights or not Path(rerank_weights).is_file()):
+        print(f"[red] ERROR: --rerank clip needs --rerank-weights pointing at a checkpoint.")
+        raise SystemExit(1)
     if api_url is None:
         api_url = config.HYDRUS_API_URL
     if query is None:
@@ -208,6 +214,9 @@ def main(
         search_backend=search_backend,
         hash_backend=hash_backend,
         sampling=sampling,
+        rerank=rerank,
+        rerank_weights=rerank_weights,
+        rerank_threshold=rerank_threshold,
     )
     if debug:
         deduper.hydlog.setLevel(logging.DEBUG)
@@ -306,6 +315,27 @@ def _build_cli():
         help="Frame sampling: 'uniform' (1 fps, reference parity) or 'scene'"
         " (shot-boundary; fewer frames on static content — don't mix modes"
         " in one database).",
+    )
+    @click.option(
+        "--rerank",
+        default="none",
+        type=click.Choice(["none", "clip"]),
+        help="Embedding rerank of candidate pairs after the pHash prefilter"
+        " (stretch): keeps a pair only when the vision-tower cosine"
+        " similarity clears --rerank-threshold.",
+    )
+    @click.option(
+        "--rerank-weights",
+        default=None,
+        type=click.Path(exists=True),
+        help="Vision-tower checkpoint (.npz; see models/embed.py for the"
+        " layout — e.g. a converted CLIP ViT).",
+    )
+    @click.option(
+        "--rerank-threshold",
+        default=0.85,
+        type=float,
+        help="Minimum embedding cosine similarity to keep a candidate pair.",
     )
     @click.option(
         "--gui/--no-gui",
