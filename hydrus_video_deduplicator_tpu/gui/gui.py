@@ -87,6 +87,9 @@ class DedupeParameters:
     hash_backend: str = "native"
     sampling: str = "uniform"
     decode_backend: str = "auto"
+    rerank: str = "none"
+    rerank_weights: str = ""
+    rerank_threshold: float = 0.85
 
 
 class Worker(QObject):
@@ -196,6 +199,9 @@ class Worker(QObject):
                 search_backend=params.search_backend,
                 hash_backend=params.hash_backend,
                 sampling=params.sampling,
+                rerank=params.rerank,
+                rerank_weights=params.rerank_weights or None,
+                rerank_threshold=params.rerank_threshold,
             )
             pairs = deduper.deduplicate(skip_hashing=params.skip_hashing)
         except Exception as exc:
@@ -349,6 +355,21 @@ class MainWindow(QMainWindow):
         optform.addRow("Hash backend", self.hash_backend_combo)
         optform.addRow("Frame sampling", self.sampling_combo)
         optform.addRow("Decode backend", self.decode_backend_combo)
+        self.rerank_combo = QComboBox()
+        self.rerank_combo.addItems(["none", "clip"])
+        self.rerank_combo.setToolTip(
+            "clip: gate candidate pairs on vision-embedding cosine\n"
+            "similarity (needs a .npz checkpoint — see models/embed.py)."
+        )
+        self.rerank_weights_edit = QLineEdit()
+        self.rerank_weights_edit.setPlaceholderText("path to vision checkpoint (.npz)")
+        self.rerank_threshold_spin = QDoubleSpinBox()
+        self.rerank_threshold_spin.setRange(-1.0, 1.0)
+        self.rerank_threshold_spin.setSingleStep(0.05)
+        self.rerank_threshold_spin.setValue(0.85)
+        optform.addRow("Rerank", self.rerank_combo)
+        optform.addRow("Rerank weights", self.rerank_weights_edit)
+        optform.addRow("Rerank threshold", self.rerank_threshold_spin)
         optform.addRow("Custom query", self.query_edit)
         optform.addRow("Failed page name", self.failed_page_edit)
         layout.addWidget(opt_box)
@@ -417,6 +438,9 @@ class MainWindow(QMainWindow):
             hash_backend=self.hash_backend_combo.currentText(),
             sampling=self.sampling_combo.currentText(),
             decode_backend=self.decode_backend_combo.currentText(),
+            rerank=self.rerank_combo.currentText(),
+            rerank_weights=self.rerank_weights_edit.text().strip(),
+            rerank_threshold=self.rerank_threshold_spin.value(),
         )
         self.run_button.setEnabled(False)
         self.skip_button.setEnabled(True)

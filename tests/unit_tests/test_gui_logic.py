@@ -208,12 +208,14 @@ def test_dedupe_params_reach_orchestrator(gui_module, monkeypatch):
         hash_backend="tpu",
         sampling="scene",
         decode_backend="legacy",
+        rerank="none",
     )
     worker.run_dedupe(params)
     assert done == [(True, 7)]
     assert captured["search_backend"] == "tpu"
     assert captured["hash_backend"] == "tpu"
     assert captured["sampling"] == "scene"
+    assert captured["rerank"] == "none" and captured["rerank_threshold"] == 0.85
     import os
 
     assert os.environ.get("HVD_DECODE_BACKEND") == "legacy"
