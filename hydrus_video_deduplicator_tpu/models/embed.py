@@ -24,6 +24,10 @@ the full mechanism with synthetic weights.
     ln_final/scale|bias [D]             proj [D, E]
     n_heads [] (int)                    image_size [] (int, e.g. 224)
     image_mean [3], image_std [3] (pixel normalization, 0..1 scale)
+Optional keys (present in CLIP-converted checkpoints, see convert_clip.py):
+    pre_ln/scale|bias [D]   layernorm applied after pos_embed, before blocks
+    act [] (str)            MLP activation: "gelu_tanh" (default),
+                            "gelu" (erf, torch nn.GELU), "quick_gelu" (CLIP)
 """
 
 from __future__ import annotations
@@ -37,9 +41,21 @@ import numpy as np
 
 
 def load_params(path: str | Path) -> dict:
-    """Load a ``.npz`` checkpoint into a plain dict of jnp arrays."""
+    """Load a ``.npz`` checkpoint into a plain dict of jnp arrays.
+
+    The optional ``act`` entry is metadata, not a tensor; it stays a str.
+    """
     with np.load(str(path)) as z:
-        return {k: jnp.asarray(z[k]) for k in z.files}
+        return {
+            k: (str(z[k]) if k == "act" else jnp.asarray(z[k])) for k in z.files
+        }
+
+
+_ACTIVATIONS = {
+    "gelu_tanh": jax.nn.gelu,  # tanh approximation (jax default)
+    "gelu": functools.partial(jax.nn.gelu, approximate=False),  # erf, torch nn.GELU
+    "quick_gelu": lambda x: x * jax.nn.sigmoid(1.702 * x),  # original CLIP
+}
 
 
 def _layer_norm(x, scale, bias, eps=1e-5):
@@ -64,11 +80,11 @@ def _attention(x, p, i, n_heads):
     return out @ p[f"blocks.{i}.attn/out_kernel"] + p[f"blocks.{i}.attn/out_bias"]
 
 
-def _block(x, p, i, n_heads):
+def _block(x, p, i, n_heads, act_fn):
     h = _layer_norm(x, p[f"blocks.{i}.ln1/scale"], p[f"blocks.{i}.ln1/bias"])
     x = x + _attention(h, p, i, n_heads)
     h = _layer_norm(x, p[f"blocks.{i}.ln2/scale"], p[f"blocks.{i}.ln2/bias"])
-    h = jax.nn.gelu(h @ p[f"blocks.{i}.mlp/fc1_kernel"] + p[f"blocks.{i}.mlp/fc1_bias"])
+    h = act_fn(h @ p[f"blocks.{i}.mlp/fc1_kernel"] + p[f"blocks.{i}.mlp/fc1_bias"])
     return x + (h @ p[f"blocks.{i}.mlp/fc2_kernel"] + p[f"blocks.{i}.mlp/fc2_bias"])
 
 
@@ -80,8 +96,8 @@ def n_layers(params: dict) -> int:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("layers", "heads", "img"))
-def _embed(frames_u8, params, layers: int, heads: int, img: int):
+@functools.partial(jax.jit, static_argnames=("layers", "heads", "img", "act"))
+def _embed(frames_u8, params, layers: int, heads: int, img: int, act: str = "gelu_tanh"):
     # frames: [B, 512, 512, 3] uint8 (the pipeline's decoded frames) ->
     # resize to the tower's input, normalize with the checkpoint's stats
     x = frames_u8.astype(jnp.float32) / 255.0
@@ -101,8 +117,11 @@ def _embed(frames_u8, params, layers: int, heads: int, img: int):
     x = x.reshape(b, -1, x.shape[-1])  # [B, N, D]
     cls = jnp.broadcast_to(params["cls_token"], (b, 1, x.shape[-1]))
     x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
+    if "pre_ln/scale" in params:  # CLIP's embedding layernorm
+        x = _layer_norm(x, params["pre_ln/scale"], params["pre_ln/bias"])
+    act_fn = _ACTIVATIONS[act]
     for i in range(layers):
-        x = _block(x, params, i, heads)
+        x = _block(x, params, i, heads, act_fn)
     x = _layer_norm(x, params["ln_final/scale"], params["ln_final/bias"])
     emb = x[:, 0, :] @ params["proj"]  # class token -> embedding space
     return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
@@ -113,6 +132,7 @@ class VisionEmbedder:
 
     def __init__(self, weights_path: str | Path):
         self.params = load_params(weights_path)
+        self.act = self.params.pop("act", "gelu_tanh")
         self.layers = n_layers(self.params)
         self.heads = int(self.params["n_heads"])
         self.img = int(self.params["image_size"])
@@ -120,7 +140,14 @@ class VisionEmbedder:
     def embed_frames(self, frames_u8: np.ndarray) -> np.ndarray:
         """[B, 512, 512, 3] uint8 -> [B, E] L2-normalized float32."""
         return np.asarray(
-            _embed(jnp.asarray(frames_u8), self.params, self.layers, self.heads, self.img)
+            _embed(
+                jnp.asarray(frames_u8),
+                self.params,
+                self.layers,
+                self.heads,
+                self.img,
+                self.act,
+            )
         )
 
     def embed_video(self, frames_u8: np.ndarray) -> np.ndarray:
