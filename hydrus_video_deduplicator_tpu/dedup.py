@@ -196,6 +196,10 @@ class HydrusVideoDeduplicator:
     HASH_COMMIT_BATCH = 4
     TREE_COMMIT_BATCH = 64
     SEARCH_COMMIT_BATCH = 64
+    #: row files per checkpointed TPU-search chunk: after each chunk its
+    #: pairs are marked and its search-cache entries committed, bounding
+    #: the work an interrupt can lose while keeping device batches large
+    SEARCH_CHECKPOINT_ROWS = 8192
     #: use the TPU engine when at least this many files need searching
     TPU_ENGINE_MIN_BATCH = 16
 
@@ -340,13 +344,14 @@ class HydrusVideoDeduplicator:
                 num_similar_pairs = self.find_potential_duplicates()
             except KeyboardInterrupt:
                 if getattr(self, "_last_search_backend", "tree") == "tpu":
-                    # the batched engine only checkpoints the search cache
-                    # after marking completes (PARITY.md interrupt-
-                    # granularity delta) — don't claim progress was saved
+                    # the engine checkpoints per SEARCH_CHECKPOINT_ROWS
+                    # chunk: completed chunks' pairs are marked and their
+                    # cache entries committed; only the in-flight chunk
+                    # is redone next run
                     print(
                         "[yellow] Searching for duplicates was interrupted!"
-                        " The all-pairs engine searches in one batch, so the"
-                        " next run will redo this search."
+                        " Completed search chunks were saved; the next run"
+                        " redoes only the interrupted chunk."
                     )
                 else:
                     print("[yellow] Searching for duplicates was interrupted! Progress was saved.")
@@ -734,6 +739,76 @@ class HydrusVideoDeduplicator:
                 SearchingForDuplicatesProgress(complete=0, total=len(row_ids))
             )
         engine = TpuSearchEngine(mesh=self._device_mesh())
+
+        # Checkpointed sweep: row files are searched in chunks; after each
+        # chunk its pairs are marked in Hydrus and its search-cache entries
+        # committed, so an interrupt loses at most one chunk of work (the
+        # reference's per-file granularity, amortized to device batch size
+        # — PARITY.md). Column-side device state is shared across chunks
+        # via col_state, so the corpus uploads once.
+        MARK_BATCH = 256
+        num_similar_pairs = 0
+        marked: set[tuple[int, int]] = set()
+        rejected: set[tuple[int, int]] = set()
+        pending: list[dict] = []
+        col_state: dict = {}
+        pos_in_rows = {h: i for i, h in enumerate(row_ids)}
+
+        def post_pending():
+            if pending:
+                self.client.client.set_file_relationships(pending)
+                pending.clear()
+
+        def mark_hits(hits, chunk_row_ids) -> bool:
+            """POST one chunk's hits; False if the user skipped mid-way."""
+            nonlocal num_similar_pairs
+            with tqdm(
+                dynamic_ncols=True,
+                total=len(hits),
+                desc="Marking potential duplicates",
+                unit="pair",
+                colour="BLUE",
+            ) as pbar:
+                for r, c, _sim in hits:
+                    if self.should_skip_step_fn and self.should_skip_step_fn():
+                        # leave this chunk's search cache unmarked so the
+                        # next run redoes the remaining marking work
+                        post_pending()
+                        return False
+                    hash_a = chunk_row_ids[r]
+                    hash_b = all_ids[c]
+                    if hash_a == hash_b:
+                        pbar.update(1)
+                        continue
+                    key = (min(hash_a, hash_b), max(hash_a, hash_b))
+                    if key in rejected:
+                        pbar.update(1)
+                        continue
+                    if key not in marked:
+                        fh_a = self.db.get_file_hash(hash_a)
+                        fh_b = self.db.get_file_hash(hash_b)
+                        if not self._pair_passes_rerank(fh_a, fh_b):
+                            rejected.add(key)  # neither direction is counted
+                            pbar.update(1)
+                            continue
+                        marked.add(key)
+                        pending.append(self._relationship_payload(fh_a, fh_b))
+                        if len(pending) >= MARK_BATCH:
+                            post_pending()
+                    num_similar_pairs += 1
+                    pbar.update(1)
+            post_pending()
+            return True
+
+        # ``hits`` enumerates exactly the same (searcher, found) events as
+        # the reference's per-file tree loop: a row-vs-row pair appears in
+        # both directions (same or different chunks), a row-vs-already-
+        # searched pair once. Count them all and halve at the end
+        # (reference dedup.py:502); POST each unordered pair to Hydrus only
+        # once (the reference POSTs both directions — Hydrus dedupes, so
+        # the end state is identical), batched MARK_BATCH pairs per request
+        # instead of one HTTP round-trip per pair.
+        rows_done = 0
         with tqdm(
             total=100,
             desc="Searching for duplicates (all-pairs engine)",
@@ -741,87 +816,54 @@ class HydrusVideoDeduplicator:
             unit="%",
             colour="BLUE",
         ) as search_bar:
+            for k0 in range(0, len(files), self.SEARCH_CHECKPOINT_ROWS):
+                chunk_files = files[k0 : k0 + self.SEARCH_CHECKPOINT_ROWS]
+                if self.should_skip_step_fn and self.should_skip_step_fn():
+                    return num_similar_pairs // 2
+                chunk_row_ids = [h for h in chunk_files if h in pos_in_rows]
+                chunk_phashes = [row_phashes[pos_in_rows[h]] for h in chunk_row_ids]
 
-            def on_progress(done: int, total: int) -> None:
-                pct = int(100 * done / total) if total else 100
-                search_bar.n = min(pct, 100)
-                search_bar.refresh()
-                if self.update_progress_callback:
-                    # protocol counts files; map pair-work fraction onto them
-                    self.update_progress_callback(
-                        SearchingForDuplicatesProgress(
-                            complete=int(len(row_ids) * min(pct, 100) / 100),
-                            total=len(row_ids),
+                def on_progress(done: int, total: int) -> None:
+                    frac = done / total if total else 1.0
+                    n_done = rows_done + int(len(chunk_row_ids) * min(frac, 1.0))
+                    pct = int(100 * n_done / len(row_ids)) if row_ids else 100
+                    search_bar.n = min(pct, 100)
+                    search_bar.refresh()
+                    if self.update_progress_callback:
+                        # protocol counts files; map pair-work onto them
+                        self.update_progress_callback(
+                            SearchingForDuplicatesProgress(
+                                complete=n_done, total=len(row_ids)
+                            )
                         )
-                    )
 
-            hits = engine.find_pairs(
-                row_phashes, all_phashes, min_sim, progress=on_progress
-            )
+                hits = (
+                    engine.find_pairs(
+                        chunk_phashes,
+                        all_phashes,
+                        min_sim,
+                        progress=on_progress,
+                        col_state=col_state,
+                    )
+                    if chunk_phashes
+                    else []
+                )
+                if not mark_hits(hits, chunk_row_ids):
+                    return num_similar_pairs // 2
+                for i, hash_id in enumerate(chunk_files, start=1):
+                    self.db.execute(
+                        "UPDATE shape_search_cache SET searched_distance = ?"
+                        " WHERE hash_id = ?",
+                        (search_threshold, hash_id),
+                    )
+                    if i % self.SEARCH_COMMIT_BATCH == 0:
+                        self.db.commit()
+                self.db.commit()  # checkpoint: this chunk survives interrupts
+                rows_done += len(chunk_row_ids)
+                search_bar.n = int(100 * rows_done / len(row_ids)) if row_ids else 100
+                search_bar.refresh()
             search_bar.n = 100
             search_bar.refresh()
-
-        # ``hits`` enumerates exactly the same (searcher, found) events as the
-        # reference's per-file tree loop: a row-vs-row pair appears in both
-        # directions, a row-vs-already-searched pair once. Count them all and
-        # halve at the end (reference dedup.py:502); POST each unordered pair
-        # to Hydrus only once (the reference POSTs both directions — Hydrus
-        # dedupes, so the end state is identical), batched MARK_BATCH pairs
-        # per request instead of one HTTP round-trip per pair.
-        MARK_BATCH = 256
-        num_similar_pairs = 0
-        marked: set[tuple[int, int]] = set()
-        rejected: set[tuple[int, int]] = set()
-        pending: list[dict] = []
-
-        def post_pending():
-            if pending:
-                self.client.client.set_file_relationships(pending)
-                pending.clear()
-
-        with tqdm(
-            dynamic_ncols=True,
-            total=len(hits),
-            desc="Marking potential duplicates",
-            unit="pair",
-            colour="BLUE",
-        ) as pbar:
-            for r, c, _sim in hits:
-                if self.should_skip_step_fn and self.should_skip_step_fn():
-                    # leave the search cache unmarked so the next run redoes
-                    # the remaining marking work
-                    post_pending()
-                    return num_similar_pairs // 2
-                hash_a = row_ids[r]
-                hash_b = all_ids[c]
-                if hash_a == hash_b:
-                    pbar.update(1)
-                    continue
-                key = (min(hash_a, hash_b), max(hash_a, hash_b))
-                if key in rejected:
-                    pbar.update(1)
-                    continue
-                if key not in marked:
-                    fh_a = self.db.get_file_hash(hash_a)
-                    fh_b = self.db.get_file_hash(hash_b)
-                    if not self._pair_passes_rerank(fh_a, fh_b):
-                        rejected.add(key)  # neither direction is counted
-                        pbar.update(1)
-                        continue
-                    marked.add(key)
-                    pending.append(self._relationship_payload(fh_a, fh_b))
-                    if len(pending) >= MARK_BATCH:
-                        post_pending()
-                num_similar_pairs += 1
-                pbar.update(1)
-        post_pending()
-        for i, hash_id in enumerate(files, start=1):
-            self.db.execute(
-                "UPDATE shape_search_cache SET searched_distance = ? WHERE hash_id = ?",
-                (search_threshold, hash_id),
-            )
-            if i % self.SEARCH_COMMIT_BATCH == 0:
-                self.db.commit()
         if self.update_progress_callback:
             self.update_progress_callback(
                 SearchingForDuplicatesProgress(complete=len(row_ids), total=len(row_ids))

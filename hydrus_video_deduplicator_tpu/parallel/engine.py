@@ -241,6 +241,7 @@ class TpuSearchEngine:
         all_phashes: list[bytes],
         min_int_similarity: int,
         progress=None,
+        col_state: dict | None = None,
     ) -> list[tuple[int, int, int]]:
         """All (row_index, all_index, int_similarity) with similarity >=
         min_int_similarity (must be >= 1: similarity 0 means "no match" in
@@ -253,12 +254,21 @@ class TpuSearchEngine:
         progress: optional callable(done_video_pairs, total_video_pairs),
         invoked as device tiles complete (corpus-scale sweeps run minutes;
         the caller surfaces this through the progress-callback protocol).
+
+        col_state: optional dict carrying the column-side host index and
+        device tiles across calls. Callers that sweep the SAME all_phashes
+        with successive row chunks (stage 4's per-chunk checkpointing)
+        pass one dict for the whole sweep so the corpus is indexed,
+        unpacked, and uploaded once instead of once per chunk.
         """
         assert min_int_similarity >= 1, "minimum similarity must be >= 1"
         from ..ops import similarity_segments as seg
 
+        state = col_state if col_state is not None else {}
         rows = CorpusIndex(row_phashes)
-        cols = CorpusIndex(all_phashes)
+        cols = state.get("cols_index")
+        if cols is None:
+            cols = state["cols_index"] = CorpusIndex(all_phashes)
         total_pairs = 0
         for pa, rb in rows.buckets.items():
             for pb, cb in cols.buckets.items():
@@ -282,13 +292,17 @@ class TpuSearchEngine:
                 if p <= seg.SEG_MAX_FRAMES
                 for j in b.video_idx
             ]
-            out.extend(self._segment_route(seg_rows, seg_cols, min_int_similarity))
+            out.extend(self._segment_route(seg_rows, seg_cols, min_int_similarity, state))
 
         # column bucket arrays are stacked and device-placed ONCE per
         # (bucket, route) and reused across every row bucket — rebuilding
         # them per row bucket re-uploads the whole corpus per bucket pair
-        col_arrays = {pb: cols.bucket_arrays(pb) for pb in cols.buckets}
-        col_cache: dict = {}
+        col_arrays = state.get("col_arrays")
+        if col_arrays is None:
+            col_arrays = state["col_arrays"] = {
+                pb: cols.bucket_arrays(pb) for pb in cols.buckets
+            }
+        col_cache: dict = state.setdefault("col_cache", {})
         row_pm1_cache: dict = {}
         for pa, rb in rows.buckets.items():
             for pb, cb in cols.buckets.items():
@@ -320,7 +334,7 @@ class TpuSearchEngine:
         )
         return out
 
-    def _segment_route(self, seg_rows, seg_cols, min_sim):
+    def _segment_route(self, seg_rows, seg_cols, min_sim, state=None):
         """Fixed-shape kernel route: greedy-packed frame blocks with
         membership one-hots as data (ops/similarity_segments.py). One
         compiled executable covers every video length <= SEG_MAX_FRAMES."""
@@ -337,22 +351,27 @@ class TpuSearchEngine:
         row_blocks_per_tile = max(seg.TILE_ROW_BLOCKS, n_dev)
 
         row_blocks = seg.pack_blocks(seg_rows, seg.ROW_FRAMES, seg.ROW_SLOTS)
-        col_chunks = seg.pack_blocks(seg_cols, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS)
         chunks_per_tile = seg.TILE_COL_STEPS * seg.N_SPLIT
 
-        # column tiles to the device once (reused by every row tile)
-        col_tiles = []
-        for j0 in range(0, len(col_chunks), chunks_per_tile):
-            group = col_chunks[j0 : j0 + chunks_per_tile]
-            pm1, oh, cnt, smap = seg.stack_blocks(
-                group, chunks_per_tile, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS
-            )
-            n_real = int((smap >= 0).sum())
-            col_tiles.append((
-                smap,
-                n_real,
-                (self._put_cols(pm1), self._put_cols(oh), self._put_cols(cnt)),
-            ))
+        # column tiles to the device once — reused by every row tile AND,
+        # through col_state, by every row chunk of a checkpointed sweep
+        col_tiles = None if state is None else state.get("seg_col_tiles")
+        if col_tiles is None:
+            col_chunks = seg.pack_blocks(seg_cols, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS)
+            col_tiles = []
+            for j0 in range(0, len(col_chunks), chunks_per_tile):
+                group = col_chunks[j0 : j0 + chunks_per_tile]
+                pm1, oh, cnt, smap = seg.stack_blocks(
+                    group, chunks_per_tile, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS
+                )
+                n_real = int((smap >= 0).sum())
+                col_tiles.append((
+                    smap,
+                    n_real,
+                    (self._put_cols(pm1), self._put_cols(oh), self._put_cols(cnt)),
+                ))
+            if state is not None:
+                state["seg_col_tiles"] = col_tiles
 
         def row_tiles():
             for i0 in range(0, len(row_blocks), row_blocks_per_tile):

@@ -1,0 +1,119 @@
+"""Per-chunk checkpointing of the batched TPU search (stage 4).
+
+The reference marks each file's search-cache entry as it is searched, so
+an interrupt loses at most one file of work. The all-pairs engine searches
+in SEARCH_CHECKPOINT_ROWS chunks and commits each chunk's cache entries
+after its pairs are marked — an interrupt loses at most one chunk. These
+tests drive the real orchestrator against the live fake Hydrus: abort
+between chunks, assert the committed partial state, resume, and assert the
+end state matches the uninterrupted tree backend.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from hydrus_video_deduplicator_tpu.client import HVDClient
+from hydrus_video_deduplicator_tpu.db import DedupeDB
+from hydrus_video_deduplicator_tpu.dedup import HydrusVideoDeduplicator
+
+from ..fake_hydrus import DEFAULT_ACCESS_KEY, FakeHydrus, corpus_file_store
+
+EXPECTED_PAIRS = 31  # see tests/acceptance_tests/test_main.py
+
+
+@pytest.fixture()
+def fake_server():
+    server = FakeHydrus(corpus_file_store())
+    server.start()
+    yield server
+    server.stop()
+
+
+def _make_deduper(server, tmp_path, **kwargs):
+    DedupeDB.set_db_dir(tmp_path / uuid.uuid4().hex)
+    DedupeDB.create_db()
+    db = DedupeDB.DedupeDb(DedupeDB.get_db_dir(), DedupeDB.get_db_name())
+    db.init_connection()
+    client = HVDClient(None, server.url, DEFAULT_ACCESS_KEY, None)
+    return db, HydrusVideoDeduplicator(db, client, **kwargs)
+
+
+def _searched_count(db):
+    return db.execute(
+        "SELECT COUNT(*) FROM shape_search_cache WHERE searched_distance IS NOT NULL"
+    ).fetchone()[0]
+
+
+def test_interrupt_between_chunks_checkpoints(fake_server, tmp_path, monkeypatch):
+    monkeypatch.setattr(HydrusVideoDeduplicator, "SEARCH_CHECKPOINT_ROWS", 5)
+    db, deduper = _make_deduper(fake_server, tmp_path, search_backend="tpu")
+
+    # stages 1-3: hash everything, build the queue/tree state
+    all_hashes = list(deduper.client.get_video_hashes(deduper.search_tags))
+    db.begin_transaction()
+    with db.conn:
+        deduper.add_perceptual_hashes_to_db(all_hashes)
+        deduper.process_phashed_file_queue()
+
+    n_files = db.execute("SELECT COUNT(*) FROM shape_search_cache").fetchone()[0]
+    assert n_files > 10  # several 5-row chunks
+
+    # skip fires at the second chunk boundary: the cache rows only appear
+    # after chunk 1 fully completes (search + marking + cache UPDATE), so
+    # chunk 1 runs to its commit and chunk 2 never starts
+    def skip_after_first_chunk() -> bool:
+        return _searched_count(db) >= 5
+
+    deduper.should_skip_step_fn = skip_after_first_chunk
+    db.begin_transaction()
+    with db.conn:
+        deduper.find_potential_duplicates()
+        # durability: a SECOND connection (which can only see committed
+        # data) observes the chunk's cache entries while the orchestrator
+        # connection's transaction is still open
+        import sqlite3
+
+        other = sqlite3.connect(DedupeDB.get_db_file_path())
+        committed = other.execute(
+            "SELECT COUNT(*) FROM shape_search_cache"
+            " WHERE searched_distance IS NOT NULL"
+        ).fetchone()[0]
+        other.close()
+        assert committed == 5
+
+    searched = _searched_count(db)
+    assert searched == 5  # exactly the first chunk was committed
+    partial_rel = len(fake_server.relationships)
+
+    # resume without the skip: only the remaining files are searched and
+    # the end state matches a full run
+    deduper.should_skip_step_fn = None
+    remaining = db.execute(
+        "SELECT COUNT(*) FROM shape_search_cache WHERE searched_distance IS NULL"
+    ).fetchone()[0]
+    assert remaining == n_files - 5
+    db.begin_transaction()
+    with db.conn:
+        deduper.find_potential_duplicates()
+    assert _searched_count(db) == n_files
+    assert len(fake_server.relationships) == EXPECTED_PAIRS
+    assert partial_rel <= EXPECTED_PAIRS
+
+
+def test_chunked_run_matches_unchunked(fake_server, tmp_path, monkeypatch):
+    """Tiny chunks produce the identical relationship set and search cache
+    as one big batch."""
+    monkeypatch.setattr(HydrusVideoDeduplicator, "SEARCH_CHECKPOINT_ROWS", 3)
+    db, deduper = _make_deduper(fake_server, tmp_path, search_backend="tpu")
+    all_hashes = list(deduper.client.get_video_hashes(deduper.search_tags))
+    db.begin_transaction()
+    with db.conn:
+        deduper.add_perceptual_hashes_to_db(all_hashes)
+        deduper.process_phashed_file_queue()
+        deduper.find_potential_duplicates()
+    assert len(fake_server.relationships) == EXPECTED_PAIRS
+    n_files = db.execute("SELECT COUNT(*) FROM shape_search_cache").fetchone()[0]
+    assert _searched_count(db) == n_files
