@@ -262,12 +262,14 @@ class HydrusVideoDeduplicator:
 
     @staticmethod
     def _device_mesh():
-        """1-D mesh over all devices when more than one is visible, else
-        None. Both TPU paths (hashing, search) shard their leading batch
-        axis over this mesh; single-chip behavior is unchanged."""
-        from .parallel.mesh import build_mesh, device_count
+        """Mesh over all devices when more than one is visible, else None:
+        1-D within a slice, 2-D ("dcn", "ici") when the devices span
+        multiple DCN-connected slices (parallel.mesh.build_mesh_auto).
+        Both TPU paths (hashing, search) shard their leading batch axis
+        over the whole mesh; single-chip behavior is unchanged."""
+        from .parallel.mesh import build_mesh_auto, device_count
 
-        return build_mesh() if device_count() > 1 else None
+        return build_mesh_auto() if device_count() > 1 else None
 
     # -- stage 0: discovery ------------------------------------------------
 

@@ -76,13 +76,13 @@ def _hash_batch_fn(mesh=None):
         return base
 
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from ..parallel.mesh import shard_map
 
-    axis = mesh.axis_names[0]
+    rows = P(tuple(mesh.axis_names))  # leading axis over ALL mesh axes
     fn = shard_map(
-        base, mesh=mesh, in_specs=P(axis), out_specs=(P(axis), P(axis)), check_rep=False
+        base, mesh=mesh, in_specs=rows, out_specs=(rows, rows), check_rep=False
     )
-    sharding = NamedSharding(mesh, P(axis))
+    sharding = NamedSharding(mesh, rows)
 
     def sharded(planar):
         return fn(jax.device_put(np.ascontiguousarray(planar), sharding))

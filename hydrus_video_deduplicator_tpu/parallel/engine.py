@@ -23,9 +23,12 @@ Brute force is strictly more correct than the VP-tree (the tree assumes a
 metric; VPDQ similarity is not one), so pair sets can only gain pairs the
 tree would miss; tests compare both paths and flag differences.
 
-Multi-chip: rows are sharded over a 1-D mesh with shard_map; every device
-computes its row-slab against the (replicated) column block. Wall-clock
-scales ~linearly in devices; no collectives beyond the initial broadcast.
+Multi-chip: rows are sharded over the whole mesh with shard_map — the
+leading axis partitions over ALL mesh axes jointly, so a 1-D (ici) mesh
+and a 2-D (dcn, ici) multi-slice mesh both work; every device computes
+its row-slab against the (replicated) column block, whose broadcast fans
+out over DCN once per slice then ICI within slices. Wall-clock scales
+~linearly in devices; no collectives beyond that initial broadcast.
 """
 
 from __future__ import annotations
@@ -496,7 +499,9 @@ class TpuSearchEngine:
             return jnp.asarray(arr)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        return jax.device_put(arr, NamedSharding(self.mesh, P(self.mesh.axis_names[0])))
+        return jax.device_put(
+            arr, NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
+        )
 
     def _put_cols(self, arr: np.ndarray):
         """Column-tile array onto the device(s) ONCE — column tiles are
@@ -646,15 +651,15 @@ def _sharded_segments_fn(mesh, kernel_fn):
     arrays (pm1/onehot/counts) shard on the leading axis, col arrays are
     replicated. Cached per (mesh, kernel)."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from .mesh import shard_map
 
-    axis = mesh.axis_names[0]
+    rows = P(tuple(mesh.axis_names))  # leading axis over ALL mesh axes
     return jax.jit(
         shard_map(
             kernel_fn,
             mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
-            out_specs=P(axis),
+            in_specs=(rows, rows, rows, P(), P(), P()),
+            out_specs=rows,
             check_rep=False,
         )
     )
@@ -665,9 +670,9 @@ def _sharded_tile_fn(mesh, pa: int, pb: int):
     """Jitted shard_map wrapper for the XLA tile, cached per (mesh, pa, pb)
     — rebuilding the closure per tile would retrace in the hot loop."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from .mesh import shard_map
 
-    axis = mesh.axis_names[0]
+    rows = P(tuple(mesh.axis_names))
 
     def slab(rp, rc, cp, cc):
         return _tile_similarity(rp, rc, cp, cc, pa, pb)
@@ -676,8 +681,8 @@ def _sharded_tile_fn(mesh, pa: int, pb: int):
         shard_map(
             slab,
             mesh=mesh,
-            in_specs=(P(axis), P(axis), P(), P()),
-            out_specs=P(axis),
+            in_specs=(rows, rows, P(), P()),
+            out_specs=rows,
             check_rep=False,
         )
     )
@@ -694,9 +699,9 @@ def sharded_tile_similarity(mesh, rows_packed, rows_counts, cols_packed, cols_co
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    axis = mesh.axis_names[0]
-    rows_packed = jax.device_put(rows_packed, NamedSharding(mesh, P(axis)))
-    rows_counts = jax.device_put(rows_counts, NamedSharding(mesh, P(axis)))
+    rows = P(tuple(mesh.axis_names))
+    rows_packed = jax.device_put(rows_packed, NamedSharding(mesh, rows))
+    rows_counts = jax.device_put(rows_counts, NamedSharding(mesh, rows))
     cols_packed = jax.device_put(cols_packed, NamedSharding(mesh, P()))
     cols_counts = jax.device_put(cols_counts, NamedSharding(mesh, P()))
     return _sharded_tile_fn(mesh, pa, pb)(
@@ -711,9 +716,9 @@ def _sharded_block_pallas_fn(mesh, pa: int, pb: int, kernel_fn):
     read from the module inside the slab) so tests substituting the XLA
     twin get their own cache entry."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from .mesh import shard_map
 
-    axis = mesh.axis_names[0]
+    rows = P(tuple(mesh.axis_names))
 
     def slab(a, fa_s, b, fb_s):
         return kernel_fn(a, fa_s, b, fb_s, pa, pb)
@@ -722,8 +727,8 @@ def _sharded_block_pallas_fn(mesh, pa: int, pb: int, kernel_fn):
         shard_map(
             slab,
             mesh=mesh,
-            in_specs=(P(axis), P(axis), P(), P()),
-            out_specs=P(axis),
+            in_specs=(rows, rows, P(), P()),
+            out_specs=rows,
             check_rep=False,
         )
     )
@@ -742,9 +747,9 @@ def sharded_similarity_block_pallas(mesh, a_pm1, fa, b_pm1, fb, pa, pb):
 
     from ..ops import similarity_pallas as sp
 
-    axis = mesh.axis_names[0]
-    a_pm1 = jax.device_put(a_pm1, NamedSharding(mesh, P(axis)))
-    fa = jax.device_put(fa, NamedSharding(mesh, P(axis)))
+    rows = P(tuple(mesh.axis_names))
+    a_pm1 = jax.device_put(a_pm1, NamedSharding(mesh, rows))
+    fa = jax.device_put(fa, NamedSharding(mesh, rows))
     b_pm1 = jax.device_put(b_pm1, NamedSharding(mesh, P()))
     fb = jax.device_put(fb, NamedSharding(mesh, P()))
     fn = _sharded_block_pallas_fn(mesh, pa, pb, sp.similarity_block_pallas)

@@ -151,6 +151,86 @@ def _frames_to_y4m(frames: np.ndarray) -> bytes:
     return b"".join(out)
 
 
+@pytest.fixture(scope="module")
+def mesh2d():
+    """2-D ("dcn", "ici") mesh over the virtual devices — the multi-slice
+    layout build_mesh_auto produces on DCN-connected hardware."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 4 or len(devs) % 2:
+        pytest.skip("needs >= 4 devices for a 2-D mesh")
+    return Mesh(np.asarray(devs).reshape(2, len(devs) // 2), ("dcn", "ici"))
+
+
+def test_2d_mesh_engine_matches_local(mesh2d, rng):
+    """Multi-slice layout: the engine shards rows over BOTH mesh axes
+    jointly and produces the identical pair set."""
+    from hydrus_video_deduplicator_tpu.parallel.engine import TpuSearchEngine
+
+    vids = _corpus(rng, 40)
+    local = sorted(TpuSearchEngine(tile_rows=16, tile_cols=16).find_pairs(vids, vids, 75))
+    twod = sorted(
+        TpuSearchEngine(tile_rows=16, tile_cols=16, mesh=mesh2d).find_pairs(vids, vids, 75)
+    )
+    assert local == twod
+    assert local
+
+
+def test_2d_mesh_segment_route_matches(mesh2d, rng):
+    from hydrus_video_deduplicator_tpu.parallel.engine import TpuSearchEngine
+
+    vids = _corpus(rng, 40)
+    local = sorted(
+        TpuSearchEngine(force_segments=True).find_pairs(vids, vids, 75)
+    )
+    twod = sorted(
+        TpuSearchEngine(force_segments=True, mesh=mesh2d).find_pairs(vids, vids, 75)
+    )
+    assert local == twod
+
+
+def test_build_mesh_auto_single_slice_is_1d():
+    """Virtual CPU devices carry no slice_index -> one slice -> 1-D mesh."""
+    import jax
+
+    from hydrus_video_deduplicator_tpu.parallel.mesh import build_mesh_auto
+
+    m = build_mesh_auto()
+    assert m.devices.size == len(jax.devices())
+    assert len(m.axis_names) == 1
+
+
+def test_build_mesh_auto_multi_slice_is_2d(monkeypatch):
+    """Devices spanning DCN slices produce the ("dcn", "ici") grid with one
+    row per slice (slice_index faked on the virtual devices)."""
+    import jax
+
+    from hydrus_video_deduplicator_tpu.parallel import mesh as mesh_mod
+
+    devs = jax.devices()
+    if len(devs) < 4 or len(devs) % 2:
+        pytest.skip("needs >= 4 devices")
+
+    class SliceView:
+        def __init__(self, dev, idx):
+            self._dev = dev
+            self.slice_index = idx
+
+        def __getattr__(self, name):
+            return getattr(self._dev, name)
+
+    viewed = [SliceView(d, i % 2) for i, d in enumerate(devs)]
+    monkeypatch.setattr(mesh_mod.jax, "devices", lambda: viewed)
+    m = mesh_mod.build_mesh_auto()
+    assert m.axis_names == ("dcn", "ici")
+    assert m.devices.shape == (2, len(devs) // 2)
+    # each dcn row is one slice
+    for row, want in zip(m.devices, (0, 1)):
+        assert all(d.slice_index == want for d in row)
+
+
 def test_orchestrator_builds_mesh_by_default(mesh):
     """With >1 visible device the production orchestrator hands both TPU
     paths a mesh (VERDICT round 1: 'nothing a user runs ever touches a
