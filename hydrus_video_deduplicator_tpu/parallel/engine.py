@@ -608,15 +608,21 @@ class TpuSearchEngine:
         cache_key = ("pallas", pb)
         col_tiles = None if col_cache is None else col_cache.get(cache_key)
         if col_tiles is None:
-            c_pm1 = sp.unpack_pm1_host(c_frames, c_counts)
             col_tiles = []
             for j0 in range(0, len(c_idx), tc):
                 cj_n = min(j0 + tc, len(c_idx)) - j0
+                # unpack ±1 rows per column tile (not per bucket): host RAM
+                # stays at one tile (~tc*pb*256 int8 = a few MB) instead of
+                # the whole corpus side (~2 GB at 1M videos); the unpacked
+                # tile lives on only until its device_put returns
+                c_pm1_tile = sp.unpack_pm1_host(
+                    c_frames[j0 : j0 + cj_n], c_counts[j0 : j0 + cj_n]
+                )
                 col_tiles.append((
                     j0,
                     cj_n,
                     (
-                        self._put_cols(_pad_rows(c_pm1[j0 * pb : (j0 + cj_n) * pb], tc * pb)),
+                        self._put_cols(_pad_rows(c_pm1_tile, tc * pb)),
                         self._put_cols(_pad_rows(c_counts[j0 : j0 + cj_n], tc)[:, None]),
                     ),
                 ))
