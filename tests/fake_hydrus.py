@@ -38,6 +38,15 @@ class FakeHydrus:
         self.urls: dict[str, list] = {}
         self.url_adds: list[str] = []
         self.kings: list[str] = []
+        self.archived: set[str] = set()
+        self.ratings: dict[tuple[str, str], object] = {}  # (service, hash) -> rating
+        self.times: list[dict] = []
+        self.cookies: list[list] = []  # [name, value, domain, path, expires]
+        self.headers_set: dict[str, dict] = {}
+        self.popups: dict[str, dict] = {}  # job_status_key -> state
+        self.page_actions: list[tuple[str, str]] = []  # (action, page_key)
+        self.db_locked = False
+        self.pending_actions: list[tuple[str, str]] = []  # (action, service_key)
         self.requests_seen: list[str] = []
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -181,6 +190,94 @@ class FakeHydrus:
                     return self._send(200, {"file_relationships": out})
                 if path == "/session_key":
                     return self._send(200, {"session_key": "ab" * 32})
+                if path == "/get_service":
+                    service = {
+                        "name": "all local files",
+                        "service_key": FILE_SERVICE_KEY,
+                        "type": 15,
+                        "type_pretty": "virtual combined local file service",
+                    }
+                    wanted_key = params.get("service_key")
+                    wanted_name = params.get("service_name")
+                    if (wanted_key and wanted_key != FILE_SERVICE_KEY) or (
+                        wanted_name and wanted_name != service["name"]
+                    ):
+                        return self._send(404, {"error": "no such service"})
+                    return self._send(200, {"service": service})
+                if path == "/get_files/thumbnail":
+                    h = params.get("hash")
+                    if h not in fake.files:
+                        return self._send(404, {"error": "no such file"})
+                    return self._send(200, None, raw=b"THUMBNAIL:" + h.encode())
+                if path == "/get_files/render":
+                    h = params.get("hash")
+                    if h not in fake.files:
+                        return self._send(404, {"error": "no such file"})
+                    return self._send(200, None, raw=b"RENDER:" + h.encode())
+                if path == "/get_files/file_hashes":
+                    hashes = json.loads(params["hashes"])
+                    desired = params["desired_hash_type"]
+                    # fake translation: prefix-tag the source hash
+                    return self._send(
+                        200, {"hashes": {h: [f"{desired}:{h[:16]}"] for h in hashes}}
+                    )
+                if path == "/add_tags/clean_tags":
+                    tags = json.loads(params["tags"])
+                    return self._send(
+                        200, {"tags": sorted({t.strip().lower() for t in tags if t.strip()})}
+                    )
+                if path == "/add_tags/get_siblings_and_parents":
+                    tags = json.loads(params["tags"])
+                    return self._send(
+                        200,
+                        {
+                            "services": {},
+                            "tags": {
+                                t: {"ideal_tag": t, "siblings": [t], "descendants": [], "ancestors": []}
+                                for t in tags
+                            },
+                        },
+                    )
+                if path == "/manage_cookies/get_cookies":
+                    domain = params["domain"]
+                    return self._send(
+                        200,
+                        {"cookies": [c for c in fake.cookies if c[2] == domain]},
+                    )
+                if path == "/manage_popups/get_popups":
+                    return self._send(
+                        200, {"job_statuses": list(fake.popups.values())}
+                    )
+                if path == "/manage_database/get_client_options":
+                    return self._send(200, {"old_options": {}, "options": {}, "services": {}})
+                if path == "/manage_database/mr_bones":
+                    return self._send(
+                        200,
+                        {
+                            "boned_stats": {
+                                "num_inbox": 0,
+                                "num_archive": len(fake.archived),
+                                "num_deleted": len(fake.deleted),
+                                "size_inbox": 0,
+                                "size_archive": 0,
+                            }
+                        },
+                    )
+                if path == "/manage_services/get_pending_counts":
+                    return self._send(
+                        200, {"pending_counts": {}, "services": {}}
+                    )
+                if path == "/manage_file_relationships/get_potential_pairs":
+                    pairs = sorted(fake.relationships)
+                    limit = params.get("max_num_pairs")
+                    if limit is not None:
+                        pairs = pairs[: int(limit)]
+                    return self._send(
+                        200, {"potential_duplicate_pairs": [list(p) for p in pairs]}
+                    )
+                if path == "/manage_file_relationships/get_random_potentials":
+                    group = sorted({h for pair in fake.relationships for h in pair})
+                    return self._send(200, {"random_potential_duplicate_hashes": group})
                 if path == "/manage_pages/get_page_info":
                     return self._send(
                         200,
@@ -285,6 +382,96 @@ class FakeHydrus:
                     return self._send(200, {})
                 if path == "/manage_file_relationships/set_kings":
                     fake.kings.extend(payload.get("hashes", []))
+                    return self._send(200, {})
+                if path == "/add_files/archive_files":
+                    fake.archived.update(payload.get("hashes", []))
+                    return self._send(200, {})
+                if path == "/add_files/unarchive_files":
+                    fake.archived.difference_update(payload.get("hashes", []))
+                    return self._send(200, {})
+                if path == "/add_files/clear_file_deletion_record":
+                    for h in payload.get("hashes", []):
+                        fake.deleted.pop(h, None)
+                    return self._send(200, {})
+                if path == "/add_files/migrate_files":
+                    return self._send(200, {})
+                if path == "/add_files/generate_hashes":
+                    # the real client hashes a local file; the fake hashes the
+                    # path string so tests get a deterministic round-trip
+                    return self._send(
+                        200, {"hash": sha256_hex(payload["path"].encode())}
+                    )
+                if path == "/add_urls/associate_url":
+                    for h in payload.get("hashes", []):
+                        urls = fake.urls.setdefault(h, [])
+                        for u in payload.get("urls_to_add", []):
+                            if u not in urls:
+                                urls.append(u)
+                        for u in payload.get("urls_to_delete", []):
+                            if u in urls:
+                                urls.remove(u)
+                    return self._send(200, {})
+                if path == "/edit_ratings/set_rating":
+                    for h in payload.get("hashes", []):
+                        fake.ratings[(payload["rating_service_key"], h)] = payload["rating"]
+                    return self._send(200, {})
+                if path == "/edit_times/set_time":
+                    fake.times.append(payload)
+                    return self._send(200, {})
+                if path == "/manage_cookies/set_cookies":
+                    fake.cookies.extend(payload.get("cookies", []))
+                    return self._send(200, {})
+                if path == "/manage_headers/set_headers":
+                    fake.headers_set.update(payload.get("headers", {}))
+                    return self._send(200, {})
+                if path == "/manage_headers/set_user_agent":
+                    fake.headers_set["User-Agent"] = {"value": payload.get("user-agent")}
+                    return self._send(200, {})
+                if path in ("/manage_pages/focus_page", "/manage_pages/refresh_page"):
+                    fake.page_actions.append((path.rsplit("/", 1)[1], payload["page_key"]))
+                    return self._send(200, {})
+                if path == "/manage_popups/add_popup":
+                    key = f"{len(fake.popups):032x}"
+                    status = dict(payload)
+                    status["key"] = key
+                    fake.popups[key] = status
+                    return self._send(200, {"job_status": status})
+                if path == "/manage_popups/update_popup":
+                    key = payload["job_status_key"]
+                    if key not in fake.popups:
+                        return self._send(400, {"error": "no such popup"})
+                    fake.popups[key].update(
+                        {k: v for k, v in payload.items() if k != "job_status_key"}
+                    )
+                    return self._send(200, {"job_status": fake.popups[key]})
+                if path in (
+                    "/manage_popups/dismiss_popup",
+                    "/manage_popups/finish_popup",
+                    "/manage_popups/cancel_popup",
+                    "/manage_popups/call_user_callable",
+                ):
+                    key = payload["job_status_key"]
+                    if key not in fake.popups:
+                        return self._send(400, {"error": "no such popup"})
+                    action = path.rsplit("/", 1)[1]
+                    fake.popups[key]["last_action"] = action
+                    if action in ("dismiss_popup", "cancel_popup"):
+                        state = fake.popups.pop(key)
+                        return self._send(200, {"job_status": state})
+                    return self._send(200, {"job_status": fake.popups[key]})
+                if path == "/manage_database/lock_on":
+                    fake.db_locked = True
+                    return self._send(200, {})
+                if path == "/manage_database/lock_off":
+                    fake.db_locked = False
+                    return self._send(200, {})
+                if path in (
+                    "/manage_services/commit_pending",
+                    "/manage_services/forget_pending",
+                ):
+                    fake.pending_actions.append(
+                        (path.rsplit("/", 1)[1], payload["service_key"])
+                    )
                     return self._send(200, {})
                 return self._send(404, {"error": f"unhandled POST {path}"})
 
