@@ -161,6 +161,16 @@ class URLType(_IntEnum):
     UNKNOWN_URL = 5
 
 
+@enum.unique
+class ImportStatus(_IntEnum):
+    IMPORTABLE = 0
+    SUCCESS = 1
+    EXISTS = 2
+    PREVIOUSLY_DELETED = 3
+    FAILED = 4
+    VETOED = 7
+
+
 class PageType(_IntEnum):
     GALLERY_DOWNLOADER = 1
     SIMPLE_DOWNLOADER = 2

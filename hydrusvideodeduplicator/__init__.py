@@ -38,6 +38,10 @@ for _name in (
         pass
 
 # the reference exposes its API client as hydrusvideodeduplicator.hydrus_api
+# (with a .utils helper submodule scripts import directly)
 from hydrus_video_deduplicator_tpu.client import hydrus_api  # noqa: E402
+from hydrus_video_deduplicator_tpu.client import hydrus_api_utils  # noqa: E402
 
 sys.modules[f"{__name__}.hydrus_api"] = hydrus_api
+sys.modules[f"{__name__}.hydrus_api.utils"] = hydrus_api_utils
+hydrus_api.utils = hydrus_api_utils

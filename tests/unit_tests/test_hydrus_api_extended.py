@@ -233,3 +233,38 @@ def test_potential_pairs_and_random(client):
     assert "bb" * 32 in rand["random_potential_duplicate_hashes"]
     with pytest.raises(ValueError):
         c.get_random_potentials()
+
+
+def test_utils_module(client):
+    c, server = client
+    from hydrus_video_deduplicator_tpu.client import hydrus_api_utils as utils
+
+    assert utils.verify_permissions(c, hydrus_api.Permission)
+    # metadata parsing
+    parsed = utils.parse_hydrus_metadata("title:x\nplain\n\ncreator:y")
+    assert parsed == {"title": {"x"}, None: {"plain"}, "creator": {"y"}}
+    assert list(utils.yield_chunks([1, 2, 3, 4, 5], 2)) == [[1, 2], [3, 4], [5]]
+    # add_and_tag_files end to end against the fake server
+    res = utils.add_and_tag_files(c, [b"file one", b"file two"], ["t:a"], ["00" * 32])
+    assert [r["status"] for r in res] == [1, 1]
+    for r in res:
+        assert server.tags[r["hash"]] == {"t:a"}
+    # page tree flattening (fake serves a notebook with one child page)
+    pages = utils.get_page_list(c)
+    assert [p["name"] for p in pages] == ["top pages notebook", "failed"]
+    mapping = utils.get_service_mapping(c)
+    assert mapping["all local files"]
+
+
+def test_alias_package_exposes_utils():
+    import importlib
+    import sys
+
+    for mod in list(sys.modules):
+        if mod.startswith("hydrusvideodeduplicator"):
+            del sys.modules[mod]
+    importlib.import_module("hydrusvideodeduplicator.hydrus_api.utils")
+    from hydrusvideodeduplicator.hydrus_api import utils
+    from hydrusvideodeduplicator.hydrus_api.utils import verify_permissions  # noqa: F401
+
+    assert hasattr(utils, "add_and_tag_files")
