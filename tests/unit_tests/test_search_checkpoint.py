@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import uuid
 
+import numpy as np
 import pytest
 
 from hydrus_video_deduplicator_tpu.client import HVDClient
@@ -117,3 +118,35 @@ def test_chunked_run_matches_unchunked(fake_server, tmp_path, monkeypatch):
     assert len(fake_server.relationships) == EXPECTED_PAIRS
     n_files = db.execute("SELECT COUNT(*) FROM shape_search_cache").fetchone()[0]
     assert _searched_count(db) == n_files
+
+
+def test_chunked_find_pairs_property(rng):
+    """Property: for random corpora (mixed frame counts incl. empty and
+    long videos) and random chunk splits, the union of per-chunk hits with
+    a shared col_state equals the single-batch hit set exactly."""
+    from hydrus_video_deduplicator_tpu.parallel.engine import TpuSearchEngine
+
+    for trial in range(5):
+        n = int(rng.integers(10, 60))
+        vids = []
+        for _ in range(n):
+            c = int(rng.choice([0, 1, 2, 5, 9, 17]))
+            vids.append(rng.integers(0, 256, (c, 32), dtype=np.uint8).tobytes())
+        if n >= 6:
+            vids[5] = vids[2]  # planted dup
+        if trial == 0:  # one host-path long video (> MAX_BUCKET frames)
+            vids[0] = rng.integers(0, 256, (1025, 32), dtype=np.uint8).tobytes()
+
+        eng = TpuSearchEngine(tile_rows=8, tile_cols=8)
+        want = sorted(eng.find_pairs(vids, vids, 75))
+
+        col_state: dict = {}
+        got = []
+        k0 = 0
+        while k0 < n:
+            step = int(rng.integers(1, n))
+            chunk = vids[k0 : k0 + step]
+            hits = eng.find_pairs(chunk, vids, 75, col_state=col_state)
+            got.extend((r + k0, c, s) for r, c, s in hits)
+            k0 += step
+        assert sorted(got) == want, f"trial {trial}"
