@@ -16,8 +16,12 @@ including empty-hash and padding handling. Two device routes:
    static shapes; XLA tiles or the bucketed Pallas kernel per bucket pair.
 
 Longer videos are compared exactly on the host (threaded native
-matchHashBytes). Tiles stream with bounded in-flight results and a
-device-side hit-count gate; hits come back as (row, col, sim) pairs.
+matchHashBytes). On the segment route the whole column side is device-
+resident and each row tile is ONE dispatch: lax.scan runs the kernel over
+every column tile and compacts hits on device (count + first-K triples),
+so the host round-trips per row tile, not per tile pair. The bucketed
+route streams tiles with bounded in-flight results and a device-side
+hit-count gate; hits come back as (row, col, sim) pairs either way.
 
 Brute force is strictly more correct than the VP-tree (the tree assumes a
 metric; VPDQ similarity is not one), so pair sets can only gain pairs the
@@ -155,6 +159,69 @@ def _tile_similarity(
 def _hit_count(sim: jnp.ndarray, min_sim: jnp.ndarray) -> jnp.ndarray:
     """Scalar number of entries >= min_sim (device-side result gate)."""
     return jnp.sum(sim >= min_sim, dtype=jnp.int32)
+
+
+def _scan_sweep_body(rf, ri, rc, cf, ci, cc, min_sim, kernel, k_cap: int):
+    """lax.scan the segment kernel over stacked column tiles, compacting
+    hits ON DEVICE: per column tile, the true hit count plus the first
+    k_cap (row, col, sim) triples (row-major). One dispatch covers every
+    column tile for a row tile — per-tile dispatch/fetch round trips were
+    the dominant cost of the old host-driven loop off-chip, and ~2x the
+    kernel time even on a local TPU VM."""
+
+    def step(carry, col):
+        cft, cit, cct = col
+        sim = kernel(rf, ri, rc, cft, cit, cct)
+        hit = sim >= min_sim
+        cnt = jnp.sum(hit, dtype=jnp.int32)
+        r, c = jnp.nonzero(hit, size=k_cap, fill_value=-1)
+        v = jnp.where(r >= 0, sim[jnp.maximum(r, 0), jnp.maximum(c, 0)], 0)
+        return carry, (cnt, r.astype(jnp.int32), c.astype(jnp.int32), v)
+
+    _, out = jax.lax.scan(step, 0, (cf, ci, cc))
+    return out  # cnts [T], rows [T, K], cols [T, K], sims [T, K]
+
+
+@functools.lru_cache(maxsize=16)
+def _segment_sweep_fn(kernel, k_cap: int):
+    """Jitted single-device scan sweep, cached per (kernel, cap)."""
+
+    @jax.jit
+    def sweep(rf, ri, rc, cf, ci, cc, min_sim):
+        cnts, rs, cs, vs = _scan_sweep_body(rf, ri, rc, cf, ci, cc, min_sim, kernel, k_cap)
+        return cnts[None], rs[None], cs[None], vs[None]  # device axis of 1
+
+    return sweep
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_segment_sweep_fn(mesh, kernel, k_cap: int):
+    """Sharded scan sweep: rows sharded over the whole mesh, stacked column
+    tiles replicated; every device scans all column tiles against its row
+    slab and compacts its own hits (row indices rebased to global row-tile
+    slots). Outputs gain a leading device axis."""
+    from jax.sharding import PartitionSpec as P
+
+    from .mesh import shard_map
+
+    axes = tuple(mesh.axis_names)
+    rows = P(axes)
+
+    def body(rf, ri, rc, cf, ci, cc, min_sim):
+        cnts, rs, cs, vs = _scan_sweep_body(rf, ri, rc, cf, ci, cc, min_sim, kernel, k_cap)
+        dev = jax.lax.axis_index(axes if len(axes) > 1 else axes[0])
+        rs = jnp.where(rs >= 0, rs + dev * rc.shape[0], -1)
+        return cnts[None], rs[None], cs[None], vs[None]
+
+    return jax.jit(
+        shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(rows, rows, rows, P(), P(), P(), P()),
+            out_specs=(rows, rows, rows, rows),
+            check_rep=False,
+        )
+    )
 
 
 def _pad_rows(arr: np.ndarray, to: int) -> np.ndarray:
@@ -337,10 +404,23 @@ class TpuSearchEngine:
         )
         return out
 
+    #: per-(row tile x column tile) device hit-buffer capacity of the scan
+    #: sweep; a tile whose true hit count exceeds it is recomputed with a
+    #: full single-tile fetch (only plausible at degenerate thresholds)
+    SEG_HIT_CAP = 4096
+
     def _segment_route(self, seg_rows, seg_cols, min_sim, state=None):
         """Fixed-shape kernel route: greedy-packed frame blocks with
         membership one-hots as data (ops/similarity_segments.py). One
-        compiled executable covers every video length <= SEG_MAX_FRAMES."""
+        compiled executable covers every video length <= SEG_MAX_FRAMES.
+
+        The column side lives on the device as ONE stacked [T, ...] array
+        set (reused across row tiles and, via col_state, across the
+        checkpointed chunks of a sweep); each row tile is ONE dispatch
+        that lax.scans the kernel over all T column tiles and compacts
+        hits on device (_scan_sweep_body). The host fetches a [T] count
+        vector plus the compact hit buffers per row tile instead of one
+        [rows, cols] result per tile pair."""
         from ..ops import similarity_segments as seg
 
         if not seg_rows or not seg_cols:
@@ -356,70 +436,104 @@ class TpuSearchEngine:
         row_blocks = seg.pack_blocks(seg_rows, seg.ROW_FRAMES, seg.ROW_SLOTS)
         chunks_per_tile = seg.TILE_COL_STEPS * seg.N_SPLIT
 
-        # column tiles to the device once — reused by every row tile AND,
-        # through col_state, by every row chunk of a checkpointed sweep
-        col_tiles = None if state is None else state.get("seg_col_tiles")
-        if col_tiles is None:
+        cols_stacked = None if state is None else state.get("seg_scan_cols")
+        if cols_stacked is None:
             col_chunks = seg.pack_blocks(seg_cols, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS)
-            col_tiles = []
+            pm1s, ids, cnts_h, smaps = [], [], [], []
             for j0 in range(0, len(col_chunks), chunks_per_tile):
                 group = col_chunks[j0 : j0 + chunks_per_tile]
-                pm1, oh, cnt, smap = seg.stack_blocks(
+                pm1, slot_ids, cnt, smap = seg.stack_blocks(
                     group, chunks_per_tile, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS
                 )
-                n_real = int((smap >= 0).sum())
-                col_tiles.append((
-                    smap,
-                    n_real,
-                    (self._put_cols(pm1), self._put_cols(oh), self._put_cols(cnt)),
-                ))
+                pm1s.append(pm1)
+                ids.append(slot_ids)
+                cnts_h.append(cnt)
+                smaps.append(smap)
+            cols_stacked = (
+                self._put_cols(np.stack(pm1s)),
+                self._put_cols(np.stack(ids)),
+                self._put_cols(np.stack(cnts_h)),
+                smaps,
+                sum(int((m >= 0).sum()) for m in smaps),
+            )
             if state is not None:
-                state["seg_col_tiles"] = col_tiles
+                state["seg_scan_cols"] = cols_stacked
+        cf, ci, cc, smaps, total_cols = cols_stacked
+        n_tiles = len(smaps)
 
-        def row_tiles():
-            for i0 in range(0, len(row_blocks), row_blocks_per_tile):
-                group = row_blocks[i0 : i0 + row_blocks_per_tile]
-                pm1, oh, cnt, smap = seg.stack_blocks(
-                    group, row_blocks_per_tile, seg.ROW_FRAMES, seg.ROW_SLOTS
-                )
-                n_real = int((smap >= 0).sum())
-                yield smap, n_real, (
-                    self._put_rows(pm1),
-                    self._put_rows(oh),
-                    self._put_rows(cnt),
-                )
-
-        def compute(row_args, col_args):
-            rf, ro, rc = row_args
-            cf, co, cc = col_args
-            if self.mesh is not None:
-                return _sharded_segments_fn(self.mesh, kernel)(rf, ro, rc, cf, co, cc)
-            return kernel(rf, ro, rc, cf, co, cc)
+        sweep = (
+            _sharded_segment_sweep_fn(self.mesh, kernel, self.SEG_HIT_CAP)
+            if self.mesh is not None
+            else _segment_sweep_fn(kernel, self.SEG_HIT_CAP)
+        )
+        min_sim_dev = jnp.int32(min_sim)
 
         out: list[tuple[int, int, int]] = []
         inflight: deque = deque()
-        min_sim_dev = jnp.int32(min_sim)
 
-        def drain(cnt_dev, sim_dev, meta):
-            rmap, cmap, work = meta
+        def recompute_full(row_args, t):
+            """Overflowed tile: full [rows, cols] fetch for column tile t."""
+            rf, ri, rc = row_args
+            if self.mesh is not None:
+                sim = _sharded_segments_fn(self.mesh, kernel)(
+                    rf, ri, rc, cf[t], ci[t], cc[t]
+                )
+            else:
+                sim = kernel(rf, ri, rc, cf[t], ci[t], cc[t])
+            return np.asarray(sim)
+
+        def drain(rmap, rn, row_args, result):
+            cnts, rs, cs, vs = result
+            cnts = np.asarray(cnts)  # [D, T] — forces the dispatch
             if self._progress_cb is not None:
-                self._progress_done += work
+                self._progress_done += rn * total_cols
                 self._progress_cb(self._progress_done, self._progress_total)
-            if int(cnt_dev) == 0:
+            if int(cnts.sum()) == 0:
                 return
-            sim = np.asarray(sim_dev)
-            for a, b in np.argwhere(sim >= min_sim):
-                ia, ib = int(rmap[a]), int(cmap[b])
-                if ia >= 0 and ib >= 0:
-                    out.append((ia, ib, int(sim[a, b])))
+            rs, cs, vs = np.asarray(rs), np.asarray(cs), np.asarray(vs)
+            overflowed: set[int] = set()
+            for t in range(n_tiles):
+                if (cnts[:, t] > self.SEG_HIT_CAP).any():
+                    overflowed.add(t)
+                    sim = recompute_full(row_args, t)
+                    for a, b in np.argwhere(sim >= min_sim):
+                        ia, ib = int(rmap[a]), int(smaps[t][b])
+                        if ia >= 0 and ib >= 0:
+                            out.append((ia, ib, int(sim[a, b])))
+            for d in range(cnts.shape[0]):
+                for t in range(n_tiles):
+                    if t in overflowed:
+                        continue
+                    n = int(cnts[d, t])
+                    if n == 0:
+                        continue
+                    ia = rmap[rs[d, t, :n]]
+                    ib = smaps[t][cs[d, t, :n]]
+                    keep = (ia >= 0) & (ib >= 0)
+                    out.extend(
+                        zip(
+                            ia[keep].tolist(),
+                            ib[keep].tolist(),
+                            vs[d, t, :n][keep].tolist(),
+                        )
+                    )
 
-        for rmap, rn, row_args in row_tiles():
-            for cmap, cn, col_args in col_tiles:
-                sim_dev = compute(row_args, col_args)
-                cnt = _hit_count(sim_dev, min_sim_dev)
-                inflight.append((cnt, sim_dev, (rmap, cmap, rn * cn)))
-                while len(inflight) >= self.MAX_TILES_IN_FLIGHT:
-                    drain(*inflight.popleft())
+        for i0 in range(0, len(row_blocks), row_blocks_per_tile):
+            group = row_blocks[i0 : i0 + row_blocks_per_tile]
+            pm1, slot_ids, cnt, rmap = seg.stack_blocks(
+                group, row_blocks_per_tile, seg.ROW_FRAMES, seg.ROW_SLOTS
+            )
+            rn = int((rmap >= 0).sum())
+            row_args = (
+                self._put_rows(pm1),
+                self._put_rows(slot_ids),
+                self._put_rows(cnt),
+            )
+            inflight.append(
+                (rmap, rn, row_args, sweep(*row_args, cf, ci, cc, min_sim_dev))
+            )
+            while len(inflight) >= self.MAX_TILES_IN_FLIGHT:
+                drain(*inflight.popleft())
         while inflight:
             drain(*inflight.popleft())
         return out

@@ -85,3 +85,23 @@ def mesh():
     if len(jax.devices()) < 2:
         pytest.skip("needs a multi-device mesh")
     return build_mesh()
+
+
+def test_scan_sweep_overflow_fallback(rng):
+    """A column tile whose hit count exceeds SEG_HIT_CAP is recomputed via
+    the full single-tile fetch: results stay identical to the default cap."""
+    from hydrus_video_deduplicator_tpu.parallel.engine import TpuSearchEngine
+
+    base = rng.integers(0, 256, (3, 32), dtype=np.uint8).tobytes()
+    vids = [base] * 25 + [
+        rng.integers(0, 256, (int(c), 32), dtype=np.uint8).tobytes()
+        for c in rng.integers(1, 6, 15)
+    ]  # 25 identical videos -> 625 mutual hits, far above the tiny cap
+
+    want = sorted(TpuSearchEngine(force_segments=True).find_pairs(vids, vids, 75))
+    assert len(want) >= 625
+
+    capped = TpuSearchEngine(force_segments=True)
+    capped.SEG_HIT_CAP = 8
+    got = sorted(capped.find_pairs(vids, vids, 75))
+    assert got == want
