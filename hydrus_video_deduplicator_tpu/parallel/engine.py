@@ -483,16 +483,30 @@ class TpuSearchEngine:
             return np.asarray(sim)
 
         def drain(rmap, rn, row_args, result):
-            cnts, rs, cs, vs = result
-            cnts = np.asarray(cnts)  # [D, T] — forces the dispatch
+            cnts_dev, rs_dev, cs_dev, vs_dev = result
+            cnts = np.asarray(cnts_dev)  # [D, T] — forces the dispatch
             if self._progress_cb is not None:
                 self._progress_done += rn * total_cols
                 self._progress_cb(self._progress_done, self._progress_total)
             if int(cnts.sum()) == 0:
                 return
-            rs, cs, vs = np.asarray(rs), np.asarray(cs), np.asarray(vs)
+            nonzero = np.argwhere(cnts > 0)
+            # hits are usually confined to a few tiles (self-matches plus
+            # sparse duplicates): fetch only those tiles' hit buffers; bulk
+            # fetch when hits are dense enough that per-tile transfers lose
+            if len(nonzero) > cnts.size // 4:
+                rs_all = np.asarray(rs_dev)
+                cs_all = np.asarray(cs_dev)
+                vs_all = np.asarray(vs_dev)
+                fetch = lambda d, t: (rs_all[d, t], cs_all[d, t], vs_all[d, t])
+            else:
+                fetch = lambda d, t: (
+                    np.asarray(rs_dev[d, t]),
+                    np.asarray(cs_dev[d, t]),
+                    np.asarray(vs_dev[d, t]),
+                )
             overflowed: set[int] = set()
-            for t in range(n_tiles):
+            for t in {int(t) for _, t in nonzero}:
                 if (cnts[:, t] > self.SEG_HIT_CAP).any():
                     overflowed.add(t)
                     sim = recompute_full(row_args, t)
@@ -500,23 +514,21 @@ class TpuSearchEngine:
                         ia, ib = int(rmap[a]), int(smaps[t][b])
                         if ia >= 0 and ib >= 0:
                             out.append((ia, ib, int(sim[a, b])))
-            for d in range(cnts.shape[0]):
-                for t in range(n_tiles):
-                    if t in overflowed:
-                        continue
-                    n = int(cnts[d, t])
-                    if n == 0:
-                        continue
-                    ia = rmap[rs[d, t, :n]]
-                    ib = smaps[t][cs[d, t, :n]]
-                    keep = (ia >= 0) & (ib >= 0)
-                    out.extend(
-                        zip(
-                            ia[keep].tolist(),
-                            ib[keep].tolist(),
-                            vs[d, t, :n][keep].tolist(),
-                        )
+            for d, t in nonzero:
+                if t in overflowed:
+                    continue
+                n = int(cnts[d, t])
+                rs_f, cs_f, vs_f = fetch(d, t)
+                ia = rmap[rs_f[:n]]
+                ib = smaps[t][cs_f[:n]]
+                keep = (ia >= 0) & (ib >= 0)
+                out.extend(
+                    zip(
+                        ia[keep].tolist(),
+                        ib[keep].tolist(),
+                        vs_f[:n][keep].tolist(),
                     )
+                )
 
         for i0 in range(0, len(row_blocks), row_blocks_per_tile):
             group = row_blocks[i0 : i0 + row_blocks_per_tile]
