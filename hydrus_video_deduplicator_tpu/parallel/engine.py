@@ -161,45 +161,51 @@ def _hit_count(sim: jnp.ndarray, min_sim: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(sim >= min_sim, dtype=jnp.int32)
 
 
-def _scan_sweep_body(rf, ri, rc, cf, ci, cc, min_sim, kernel, k_cap: int):
+def _scan_sweep_body(rf, ri, rc, cf, ci, cc, min_sim, kernel):
     """lax.scan the segment kernel over stacked column tiles, compacting
-    hits ON DEVICE: per column tile, the true hit count plus the first
-    k_cap (row, col, sim) triples (row-major). One dispatch covers every
-    column tile for a row tile — per-tile dispatch/fetch round trips were
-    the dominant cost of the old host-driven loop off-chip, and ~2x the
-    kernel time even on a local TPU VM."""
+    hits ON DEVICE: per column tile, the true hit count plus a bitmask of
+    hit positions (uint32 words, bit j of word w = column w*32+j). One
+    dispatch covers every column tile for a row tile — per-tile-pair
+    dispatch/fetch round trips were the dominant cost of the old
+    host-driven loop off-chip, and ~2x the kernel time even on a local
+    TPU VM. The bitmask costs ~0.5 ms/step of VPU work; a
+    jnp.nonzero(size=K) compaction was measured 20x slower (sort-based
+    lowering over the 1M-entry tile) and needed an overflow fallback."""
+    pow2 = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
 
     def step(carry, col):
         cft, cit, cct = col
         sim = kernel(rf, ri, rc, cft, cit, cct)
         hit = sim >= min_sim
         cnt = jnp.sum(hit, dtype=jnp.int32)
-        r, c = jnp.nonzero(hit, size=k_cap, fill_value=-1)
-        v = jnp.where(r >= 0, sim[jnp.maximum(r, 0), jnp.maximum(c, 0)], 0)
-        return carry, (cnt, r.astype(jnp.int32), c.astype(jnp.int32), v)
+        packed = (
+            hit.reshape(hit.shape[0], -1, 32).astype(jnp.uint32) * pow2
+        ).sum(-1, dtype=jnp.uint32)
+        return carry, (cnt, packed)
 
     _, out = jax.lax.scan(step, 0, (cf, ci, cc))
-    return out  # cnts [T], rows [T, K], cols [T, K], sims [T, K]
+    return out  # cnts [T], masks [T, rows, cols/32]
 
 
 @functools.lru_cache(maxsize=16)
-def _segment_sweep_fn(kernel, k_cap: int):
-    """Jitted single-device scan sweep, cached per (kernel, cap)."""
+def _segment_sweep_fn(kernel):
+    """Jitted single-device scan sweep, cached per kernel."""
 
     @jax.jit
     def sweep(rf, ri, rc, cf, ci, cc, min_sim):
-        cnts, rs, cs, vs = _scan_sweep_body(rf, ri, rc, cf, ci, cc, min_sim, kernel, k_cap)
-        return cnts[None], rs[None], cs[None], vs[None]  # device axis of 1
+        cnts, masks = _scan_sweep_body(rf, ri, rc, cf, ci, cc, min_sim, kernel)
+        return cnts[None], masks[None]  # device axis of 1
 
     return sweep
 
 
 @functools.lru_cache(maxsize=16)
-def _sharded_segment_sweep_fn(mesh, kernel, k_cap: int):
+def _sharded_segment_sweep_fn(mesh, kernel):
     """Sharded scan sweep: rows sharded over the whole mesh, stacked column
     tiles replicated; every device scans all column tiles against its row
-    slab and compacts its own hits (row indices rebased to global row-tile
-    slots). Outputs gain a leading device axis."""
+    slab and compacts its own hit bitmask (rows are slab-local; the host
+    rebases by the device's slab offset). Outputs gain a leading device
+    axis."""
     from jax.sharding import PartitionSpec as P
 
     from .mesh import shard_map
@@ -208,17 +214,15 @@ def _sharded_segment_sweep_fn(mesh, kernel, k_cap: int):
     rows = P(axes)
 
     def body(rf, ri, rc, cf, ci, cc, min_sim):
-        cnts, rs, cs, vs = _scan_sweep_body(rf, ri, rc, cf, ci, cc, min_sim, kernel, k_cap)
-        dev = jax.lax.axis_index(axes if len(axes) > 1 else axes[0])
-        rs = jnp.where(rs >= 0, rs + dev * rc.shape[0], -1)
-        return cnts[None], rs[None], cs[None], vs[None]
+        cnts, masks = _scan_sweep_body(rf, ri, rc, cf, ci, cc, min_sim, kernel)
+        return cnts[None], masks[None]
 
     return jax.jit(
         shard_map(
             body,
             mesh=mesh,
             in_specs=(rows, rows, rows, P(), P(), P(), P()),
-            out_specs=(rows, rows, rows, rows),
+            out_specs=(rows, rows),
             check_rep=False,
         )
     )
@@ -404,11 +408,6 @@ class TpuSearchEngine:
         )
         return out
 
-    #: per-(row tile x column tile) device hit-buffer capacity of the scan
-    #: sweep; a tile whose true hit count exceeds it is recomputed with a
-    #: full single-tile fetch (only plausible at degenerate thresholds)
-    SEG_HIT_CAP = 4096
-
     def _segment_route(self, seg_rows, seg_cols, min_sim, state=None):
         """Fixed-shape kernel route: greedy-packed frame blocks with
         membership one-hots as data (ops/similarity_segments.py). One
@@ -418,10 +417,14 @@ class TpuSearchEngine:
         set (reused across row tiles and, via col_state, across the
         checkpointed chunks of a sweep); each row tile is ONE dispatch
         that lax.scans the kernel over all T column tiles and compacts
-        hits on device (_scan_sweep_body). The host fetches a [T] count
-        vector plus the compact hit buffers per row tile instead of one
-        [rows, cols] result per tile pair."""
+        hits on device into position bitmasks (_scan_sweep_body). The
+        host fetches a [T] count vector plus the nonzero tiles' bitmasks
+        instead of one [rows, cols] result per tile pair, and recovers
+        each hit's integer similarity with native matchHashBytes — by
+        construction (and by property test) identical to the kernel's
+        value."""
         from ..ops import similarity_segments as seg
+        from ..vpdq import matchHashBytes
 
         if not seg_rows or not seg_cols:
             return []
@@ -462,28 +465,19 @@ class TpuSearchEngine:
         n_tiles = len(smaps)
 
         sweep = (
-            _sharded_segment_sweep_fn(self.mesh, kernel, self.SEG_HIT_CAP)
+            _sharded_segment_sweep_fn(self.mesh, kernel)
             if self.mesh is not None
-            else _segment_sweep_fn(kernel, self.SEG_HIT_CAP)
+            else _segment_sweep_fn(kernel)
         )
         min_sim_dev = jnp.int32(min_sim)
+        row_blob = dict(seg_rows)
+        col_blob = dict(seg_cols)
 
         out: list[tuple[int, int, int]] = []
         inflight: deque = deque()
 
-        def recompute_full(row_args, t):
-            """Overflowed tile: full [rows, cols] fetch for column tile t."""
-            rf, ri, rc = row_args
-            if self.mesh is not None:
-                sim = _sharded_segments_fn(self.mesh, kernel)(
-                    rf, ri, rc, cf[t], ci[t], cc[t]
-                )
-            else:
-                sim = kernel(rf, ri, rc, cf[t], ci[t], cc[t])
-            return np.asarray(sim)
-
-        def drain(rmap, rn, row_args, result):
-            cnts_dev, rs_dev, cs_dev, vs_dev = result
+        def drain(rmap, rn, result):
+            cnts_dev, masks_dev = result
             cnts = np.asarray(cnts_dev)  # [D, T] — forces the dispatch
             if self._progress_cb is not None:
                 self._progress_done += rn * total_cols
@@ -492,43 +486,27 @@ class TpuSearchEngine:
                 return
             nonzero = np.argwhere(cnts > 0)
             # hits are usually confined to a few tiles (self-matches plus
-            # sparse duplicates): fetch only those tiles' hit buffers; bulk
+            # sparse duplicates): fetch only those tiles' bitmasks; bulk
             # fetch when hits are dense enough that per-tile transfers lose
             if len(nonzero) > cnts.size // 4:
-                rs_all = np.asarray(rs_dev)
-                cs_all = np.asarray(cs_dev)
-                vs_all = np.asarray(vs_dev)
-                fetch = lambda d, t: (rs_all[d, t], cs_all[d, t], vs_all[d, t])
+                masks_all = np.asarray(masks_dev)
+                fetch = lambda d, t: masks_all[d, t]
             else:
-                fetch = lambda d, t: (
-                    np.asarray(rs_dev[d, t]),
-                    np.asarray(cs_dev[d, t]),
-                    np.asarray(vs_dev[d, t]),
-                )
-            overflowed: set[int] = set()
-            for t in {int(t) for _, t in nonzero}:
-                if (cnts[:, t] > self.SEG_HIT_CAP).any():
-                    overflowed.add(t)
-                    sim = recompute_full(row_args, t)
-                    for a, b in np.argwhere(sim >= min_sim):
-                        ia, ib = int(rmap[a]), int(smaps[t][b])
-                        if ia >= 0 and ib >= 0:
-                            out.append((ia, ib, int(sim[a, b])))
+                fetch = lambda d, t: np.asarray(masks_dev[d, t])
+            local_slots = masks_dev.shape[2]
             for d, t in nonzero:
-                if t in overflowed:
-                    continue
-                n = int(cnts[d, t])
-                rs_f, cs_f, vs_f = fetch(d, t)
-                ia = rmap[rs_f[:n]]
-                ib = smaps[t][cs_f[:n]]
-                keep = (ia >= 0) & (ib >= 0)
-                out.extend(
-                    zip(
-                        ia[keep].tolist(),
-                        ib[keep].tolist(),
-                        vs_f[:n][keep].tolist(),
-                    )
+                bits = np.unpackbits(
+                    np.ascontiguousarray(fetch(d, t)).view(np.uint8),
+                    axis=-1,
+                    bitorder="little",
                 )
+                for a, b in np.argwhere(bits):
+                    ia = int(rmap[d * local_slots + a])
+                    ib = int(smaps[t][b])
+                    if ia >= 0 and ib >= 0:
+                        out.append(
+                            (ia, ib, int(matchHashBytes(row_blob[ia], col_blob[ib])))
+                        )
 
         for i0 in range(0, len(row_blocks), row_blocks_per_tile):
             group = row_blocks[i0 : i0 + row_blocks_per_tile]
@@ -541,9 +519,7 @@ class TpuSearchEngine:
                 self._put_rows(slot_ids),
                 self._put_rows(cnt),
             )
-            inflight.append(
-                (rmap, rn, row_args, sweep(*row_args, cf, ci, cc, min_sim_dev))
-            )
+            inflight.append((rmap, rn, sweep(*row_args, cf, ci, cc, min_sim_dev)))
             while len(inflight) >= self.MAX_TILES_IN_FLIGHT:
                 drain(*inflight.popleft())
         while inflight:

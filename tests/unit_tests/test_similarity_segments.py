@@ -87,21 +87,19 @@ def mesh():
     return build_mesh()
 
 
-def test_scan_sweep_overflow_fallback(rng):
-    """A column tile whose hit count exceeds SEG_HIT_CAP is recomputed via
-    the full single-tile fetch: results stay identical to the default cap."""
+def test_scan_sweep_dense_hits(rng):
+    """Many identical videos produce a dense hit bitmask (exercising the
+    drain's bulk-fetch branch); the scan route still matches the bucketed
+    tile route exactly, including all 625 mutual pairs."""
     from hydrus_video_deduplicator_tpu.parallel.engine import TpuSearchEngine
 
     base = rng.integers(0, 256, (3, 32), dtype=np.uint8).tobytes()
     vids = [base] * 25 + [
         rng.integers(0, 256, (int(c), 32), dtype=np.uint8).tobytes()
         for c in rng.integers(1, 6, 15)
-    ]  # 25 identical videos -> 625 mutual hits, far above the tiny cap
+    ]  # 25 identical videos -> 625 mutual hits
 
-    want = sorted(TpuSearchEngine(force_segments=True).find_pairs(vids, vids, 75))
-    assert len(want) >= 625
-
-    capped = TpuSearchEngine(force_segments=True)
-    capped.SEG_HIT_CAP = 8
-    got = sorted(capped.find_pairs(vids, vids, 75))
+    want = sorted(TpuSearchEngine(force_segments=False).find_pairs(vids, vids, 75))
+    got = sorted(TpuSearchEngine(force_segments=True).find_pairs(vids, vids, 75))
+    assert len(got) >= 625
     assert got == want
