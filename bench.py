@@ -12,7 +12,11 @@ roughly 10-40 frames/s/core).
 Timing notes: frames are generated on-device and iterations are chained
 through a scalar carry so the device must execute every step before the
 final host transfer (plain block_until_ready is unreliable through remote-
-tunnel TPU transports). Secondary diagnostics go to stderr.
+tunnel TPU transports). The frames array rides the loop carry so the
+per-iteration mutation that defeats loop hoisting is an in-place 1-byte
+dynamic-update-slice — NOT a full-array copy (a captured-array .at[].set
+copies the whole batch every iteration, which inflated earlier rounds'
+numbers by ~30%). Secondary diagnostics go to stderr.
 """
 
 from __future__ import annotations
@@ -54,7 +58,7 @@ def main() -> None:
 
         layout = "planar->interleaved"
 
-    B = 256
+    B = 1024 if platform == "tpu" else 256
     key = jax.random.PRNGKey(0)
     frames = jax.random.randint(key, (B, 3, 512, 512), 0, 256, dtype=jnp.uint8)
 
@@ -66,23 +70,26 @@ def main() -> None:
 
     @jax.jit
     def chain(frames, carry):
-        def body(i, c):
-            f = frames.at[0, 0, 0, 0].set(((c + i) % 251).astype(jnp.uint8))
+        def body(i, st):
+            c, f = st
+            # in-place 1-byte DUS on the carried array: defeats hoisting
+            # without copying the batch (see module docstring)
+            f = f.at[0, 0, 0, 0].set(((c + i) % 251).astype(jnp.uint8))
             words, q = hash_fn(f)
-            return c + jnp.sum(words) + jnp.sum(q)
+            return (c + jnp.sum(words) + jnp.sum(q), f)
 
-        return jax.lax.fori_loop(0, iters, body, carry)
+        return jax.lax.fori_loop(0, iters, body, (carry, frames))
 
     carry = jnp.int32(0)
     t0 = time.time()
-    carry = chain(frames, carry)
+    carry, frames = chain(frames, carry)
     int(carry)
     log(f"compile+first round ({layout}): {time.time() - t0:.1f}s")
 
     dt = float("inf")
     for _ in range(3):
         t0 = time.time()
-        carry = chain(frames, carry)
+        carry, frames = chain(frames, carry)
         int(carry)  # host transfer forces the whole chain
         dt = min(dt, (time.time() - t0) / iters)
     frames_per_sec = B / dt

@@ -27,6 +27,8 @@ from ..vpdq import pdq_math as pm
 _RECIPS = np.asarray(pm.box_recips(pm.FRAME_DIM), dtype=np.float32)  # [512]
 _DCT = np.asarray(pm.DCT_MATRIX, dtype=np.float32)  # [16, 64]
 _QS = np.float32(pm.QUALITY_SCALE)
+#: k-group width per DCT scan step (divides BUF_DIM; see _dct16).
+_UNROLL = 8
 
 
 def _shift(x: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
@@ -108,20 +110,33 @@ def _dct16(buf64: jnp.ndarray) -> jnp.ndarray:
     """
     batch = buf64.shape[0]
     d = jnp.asarray(_DCT)
+    # k is consumed in groups of _UNROLL per scan step: the products within
+    # a group are independent, and the group's adds run in the same strict
+    # k-ascending order as a 1-per-step scan — bit-identical accumulation
+    # with 1/_UNROLL the scan-loop overhead. Groups stay inside a scan so
+    # XLA cannot re-recognize the whole chain as a reassociable dot.
+    u = _UNROLL
 
     def step1(tmp, xs):
-        dk, bk = xs  # [16], [B, 64]
-        return tmp + dk[None, :, None] * bk[:, None, :], None
+        dk, bk = xs  # [u, 16], [u, B, 64]
+        for i in range(u):
+            tmp = tmp + dk[i][None, :, None] * bk[i][:, None, :]
+        return tmp, None
 
     tmp0 = jnp.zeros((batch, pm.DCT_DIM, pm.BUF_DIM), jnp.float32)
-    tmp, _ = jax.lax.scan(step1, tmp0, (d.T, jnp.moveaxis(buf64, 1, 0)))
+    dg = d.T.reshape(pm.BUF_DIM // u, u, pm.DCT_DIM)
+    bg = jnp.moveaxis(buf64, 1, 0).reshape(pm.BUF_DIM // u, u, batch, pm.BUF_DIM)
+    tmp, _ = jax.lax.scan(step1, tmp0, (dg, bg))
 
     def step2(out, xs):
-        dk, tk = xs  # [16], [B, 16]
-        return out + tk[:, :, None] * dk[None, None, :], None
+        dk, tk = xs  # [u, 16], [u, B, 16]
+        for i in range(u):
+            out = out + tk[i][:, :, None] * dk[i][None, None, :]
+        return out, None
 
     out0 = jnp.zeros((batch, pm.DCT_DIM, pm.DCT_DIM), jnp.float32)
-    out, _ = jax.lax.scan(step2, out0, (d.T, jnp.moveaxis(tmp, 2, 0)))
+    tg = jnp.moveaxis(tmp, 2, 0).reshape(pm.BUF_DIM // u, u, batch, pm.DCT_DIM)
+    out, _ = jax.lax.scan(step2, out0, (dg, tg))
     return out
 
 
