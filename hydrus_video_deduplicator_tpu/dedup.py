@@ -725,16 +725,27 @@ class HydrusVideoDeduplicator:
         # reference semantics there).
         min_sim = max(1, 101 - search_threshold)
 
-        # corpus: every mapped file and its phash
+        # corpus: every mapped file and its phash, ordered already-searched
+        # files FIRST and the unsearched row files after them in chunk
+        # order. That makes each chunk's comparison set a corpus PREFIX
+        # (everything searched before it plus the chunk itself), so the
+        # engine sweeps the triangle instead of the square: column tiles
+        # holding only later chunks are skipped on device — a fresh
+        # full-corpus run does ~half the square's work. Counting weights
+        # below keep the reported pair count identical to the reference's
+        # both-directions-then-halve accounting.
         corpus = self.db.execute(
             "SELECT m.hash_id, p.phash FROM shape_perceptual_hash_map m"
             " JOIN shape_perceptual_hashes p ON p.phash_id = m.phash_id"
         ).fetchall()
-        all_ids = [r[0] for r in corpus]
-        all_phashes = [bytes(r[1]) for r in corpus]
-        id_to_pos = {h: i for i, h in enumerate(all_ids)}
-        row_ids = [h for h in files if h in id_to_pos]
-        row_phashes = [all_phashes[id_to_pos[h]] for h in row_ids]
+        phash_of = {r[0]: bytes(r[1]) for r in corpus}
+        row_set = set(files)
+        searched_ids = [r[0] for r in corpus if r[0] not in row_set]
+        row_ids = [h for h in files if h in phash_of]
+        n_searched = len(searched_ids)
+        all_ids = searched_ids + row_ids
+        all_phashes = [phash_of[h] for h in all_ids]
+        row_phashes = [phash_of[h] for h in row_ids]
 
         if self.update_progress_callback:
             self.update_progress_callback(
@@ -761,8 +772,17 @@ class HydrusVideoDeduplicator:
                 self.client.client.set_file_relationships(pending)
                 pending.clear()
 
-        def mark_hits(hits, chunk_row_ids) -> bool:
-            """POST one chunk's hits; False if the user skipped mid-way."""
+        def mark_hits(hits, chunk_row_ids, chunk_rows_start_pos) -> bool:
+            """POST one chunk's hits; False if the user skipped mid-way.
+
+            Counting weights reproduce the reference's accounting exactly
+            under the triangle sweep (one event per searcher-found pair,
+            halved at the end): a hit against an already-searched file is
+            one event; a hit against an earlier chunk's row stands for the
+            two directional events the square sweep would have produced (it
+            is found only once here); a within-chunk hit arrives in both
+            directions naturally, one event each.
+            """
             nonlocal num_similar_pairs
             with tqdm(
                 dynamic_ncols=True,
@@ -797,19 +817,23 @@ class HydrusVideoDeduplicator:
                         pending.append(self._relationship_payload(fh_a, fh_b))
                         if len(pending) >= MARK_BATCH:
                             post_pending()
-                    num_similar_pairs += 1
+                    num_similar_pairs += (
+                        2 if n_searched <= c < chunk_rows_start_pos else 1
+                    )
                     pbar.update(1)
             post_pending()
             return True
 
-        # ``hits`` enumerates exactly the same (searcher, found) events as
-        # the reference's per-file tree loop: a row-vs-row pair appears in
-        # both directions (same or different chunks), a row-vs-already-
-        # searched pair once. Count them all and halve at the end
-        # (reference dedup.py:502); POST each unordered pair to Hydrus only
-        # once (the reference POSTs both directions — Hydrus dedupes, so
-        # the end state is identical), batched MARK_BATCH pairs per request
-        # instead of one HTTP round-trip per pair.
+        # ``hits`` covers the triangle: within-chunk pairs appear in both
+        # directions, cross-chunk row-row pairs once (later chunk finds the
+        # earlier one), row-vs-already-searched pairs once. mark_hits's
+        # counting weights map these back to the reference's per-file tree
+        # loop events (both directions for any two unsearched files), then
+        # the total is halved at the end (reference dedup.py:502). POST
+        # each unordered pair to Hydrus only once (the reference POSTs
+        # both directions — Hydrus dedupes, so the end state is identical),
+        # batched MARK_BATCH pairs per request instead of one HTTP
+        # round-trip per pair.
         rows_done = 0
         with tqdm(
             total=100,
@@ -824,6 +848,10 @@ class HydrusVideoDeduplicator:
                     return num_similar_pairs // 2
                 chunk_row_ids = [h for h in chunk_files if h in pos_in_rows]
                 chunk_phashes = [row_phashes[pos_in_rows[h]] for h in chunk_row_ids]
+                # triangle sweep: this chunk compares against the corpus
+                # prefix ending at its own last row
+                chunk_rows_start_pos = n_searched + rows_done
+                col_limit = chunk_rows_start_pos + len(chunk_row_ids)
 
                 def on_progress(done: int, total: int) -> None:
                     frac = done / total if total else 1.0
@@ -846,11 +874,12 @@ class HydrusVideoDeduplicator:
                         min_sim,
                         progress=on_progress,
                         col_state=col_state,
+                        col_limit=col_limit,
                     )
                     if chunk_phashes
                     else []
                 )
-                if not mark_hits(hits, chunk_row_ids):
+                if not mark_hits(hits, chunk_row_ids, chunk_rows_start_pos):
                     return num_similar_pairs // 2
                 for i, hash_id in enumerate(chunk_files, start=1):
                     self.db.execute(

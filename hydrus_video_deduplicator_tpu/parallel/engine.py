@@ -161,7 +161,7 @@ def _hit_count(sim: jnp.ndarray, min_sim: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(sim >= min_sim, dtype=jnp.int32)
 
 
-def _scan_sweep_body(rf, ri, rc, cf, ci, cc, min_sim, kernel):
+def _scan_sweep_body(rf, ri, rc, cf, ci, cc, valid, min_sim, kernel):
     """lax.scan the segment kernel over stacked column tiles, compacting
     hits ON DEVICE: per column tile, the true hit count plus a bitmask of
     hit positions (uint32 words, bit j of word w = column w*32+j). One
@@ -170,20 +170,37 @@ def _scan_sweep_body(rf, ri, rc, cf, ci, cc, min_sim, kernel):
     host-driven loop off-chip, and ~2x the kernel time even on a local
     TPU VM. The bitmask costs ~0.5 ms/step of VPU work; a
     jnp.nonzero(size=K) compaction was measured 20x slower (sort-based
-    lowering over the 1M-entry tile) and needed an overflow fallback."""
+    lowering over the 1M-entry tile) and needed an overflow fallback.
+
+    valid [T] bool gates each column tile with a real branch (lax.cond):
+    an invalid tile costs neither kernel nor bitmask work. Triangle-order
+    sweeps (dedup stage 4) use it to skip column tiles holding only
+    not-yet-searched videos — a fresh all-pairs run does half the square's
+    device work."""
     pow2 = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
 
     def step(carry, col):
-        cft, cit, cct = col
-        sim = kernel(rf, ri, rc, cft, cit, cct)
-        hit = sim >= min_sim
-        cnt = jnp.sum(hit, dtype=jnp.int32)
-        packed = (
-            hit.reshape(hit.shape[0], -1, 32).astype(jnp.uint32) * pow2
-        ).sum(-1, dtype=jnp.uint32)
+        cft, cit, cct, v = col
+        sim_shape = jax.eval_shape(kernel, rf, ri, rc, cft, cit, cct).shape
+
+        def on(_):
+            sim = kernel(rf, ri, rc, cft, cit, cct)
+            hit = sim >= min_sim
+            cnt = jnp.sum(hit, dtype=jnp.int32)
+            packed = (
+                hit.reshape(hit.shape[0], -1, 32).astype(jnp.uint32) * pow2
+            ).sum(-1, dtype=jnp.uint32)
+            return cnt, packed
+
+        def off(_):
+            return jnp.int32(0), jnp.zeros(
+                (sim_shape[0], sim_shape[1] // 32), jnp.uint32
+            )
+
+        cnt, packed = jax.lax.cond(v, on, off, None)
         return carry, (cnt, packed)
 
-    _, out = jax.lax.scan(step, 0, (cf, ci, cc))
+    _, out = jax.lax.scan(step, 0, (cf, ci, cc, valid))
     return out  # cnts [T], masks [T, rows, cols/32]
 
 
@@ -192,8 +209,8 @@ def _segment_sweep_fn(kernel):
     """Jitted single-device scan sweep, cached per kernel."""
 
     @jax.jit
-    def sweep(rf, ri, rc, cf, ci, cc, min_sim):
-        cnts, masks = _scan_sweep_body(rf, ri, rc, cf, ci, cc, min_sim, kernel)
+    def sweep(rf, ri, rc, cf, ci, cc, valid, min_sim):
+        cnts, masks = _scan_sweep_body(rf, ri, rc, cf, ci, cc, valid, min_sim, kernel)
         return cnts[None], masks[None]  # device axis of 1
 
     return sweep
@@ -213,15 +230,15 @@ def _sharded_segment_sweep_fn(mesh, kernel):
     axes = tuple(mesh.axis_names)
     rows = P(axes)
 
-    def body(rf, ri, rc, cf, ci, cc, min_sim):
-        cnts, masks = _scan_sweep_body(rf, ri, rc, cf, ci, cc, min_sim, kernel)
+    def body(rf, ri, rc, cf, ci, cc, valid, min_sim):
+        cnts, masks = _scan_sweep_body(rf, ri, rc, cf, ci, cc, valid, min_sim, kernel)
         return cnts[None], masks[None]
 
     return jax.jit(
         shard_map(
             body,
             mesh=mesh,
-            in_specs=(rows, rows, rows, P(), P(), P(), P()),
+            in_specs=(rows, rows, rows, P(), P(), P(), P(), P()),
             out_specs=(rows, rows),
             check_rep=False,
         )
@@ -316,6 +333,7 @@ class TpuSearchEngine:
         min_int_similarity: int,
         progress=None,
         col_state: dict | None = None,
+        col_limit: int | None = None,
     ) -> list[tuple[int, int, int]]:
         """All (row_index, all_index, int_similarity) with similarity >=
         min_int_similarity (must be >= 1: similarity 0 means "no match" in
@@ -334,6 +352,12 @@ class TpuSearchEngine:
         with successive row chunks (stage 4's per-chunk checkpointing)
         pass one dict for the whole sweep so the corpus is indexed,
         unpacked, and uploaded once instead of once per chunk.
+
+        col_limit: only report (and, on the device routes, largely only
+        compute) hits whose corpus index is < col_limit. A chunked caller
+        that orders all_phashes so already-compared videos come first can
+        sweep the triangle instead of the square — column tiles holding
+        only videos >= col_limit are skipped with a real device branch.
         """
         assert min_int_similarity >= 1, "minimum similarity must be >= 1"
         from ..ops import similarity_segments as seg
@@ -346,7 +370,11 @@ class TpuSearchEngine:
         total_pairs = 0
         for pa, rb in rows.buckets.items():
             for pb, cb in cols.buckets.items():
-                total_pairs += len(rb.video_idx) * len(cb.video_idx)
+                n_cols = len(cb.video_idx)
+                if col_limit is not None:
+                    # video_idx is ascending (corpus iteration order)
+                    n_cols = int(np.searchsorted(cb.video_idx, col_limit))
+                total_pairs += len(rb.video_idx) * n_cols
         self._progress_done = 0
         self._progress_total = total_pairs
         self._progress_cb = progress
@@ -366,7 +394,11 @@ class TpuSearchEngine:
                 if p <= seg.SEG_MAX_FRAMES
                 for j in b.video_idx
             ]
-            out.extend(self._segment_route(seg_rows, seg_cols, min_int_similarity, state))
+            out.extend(
+                self._segment_route(
+                    seg_rows, seg_cols, min_int_similarity, state, col_limit
+                )
+            )
 
         # column bucket arrays are stacked and device-placed ONCE per
         # (bucket, route) and reused across every row bucket — rebuilding
@@ -401,14 +433,17 @@ class TpuSearchEngine:
                         min_int_similarity,
                         col_cache=col_cache,
                         row_pm1_cache=row_pm1_cache,
+                        col_limit=col_limit,
                     )
                 )
         out.extend(
-            self._long_video_pairs(rows, row_phashes, cols, all_phashes, min_int_similarity)
+            self._long_video_pairs(
+                rows, row_phashes, cols, all_phashes, min_int_similarity, col_limit
+            )
         )
         return out
 
-    def _segment_route(self, seg_rows, seg_cols, min_sim, state=None):
+    def _segment_route(self, seg_rows, seg_cols, min_sim, state=None, col_limit=None):
         """Fixed-shape kernel route: greedy-packed frame blocks with
         membership one-hots as data (ops/similarity_segments.py). One
         compiled executable covers every video length <= SEG_MAX_FRAMES.
@@ -464,6 +499,17 @@ class TpuSearchEngine:
         cf, ci, cc, smaps, total_cols = cols_stacked
         n_tiles = len(smaps)
 
+        # per-tile validity under col_limit: a tile is scanned only if it
+        # holds at least one video below the limit (device-side branch)
+        if col_limit is None:
+            valid = jnp.ones((n_tiles,), bool)
+        else:
+            valid_np = np.asarray(
+                [bool(((m >= 0) & (m < col_limit)).any()) for m in smaps]
+            )
+            valid = jnp.asarray(valid_np)
+            total_cols = sum(int(((m >= 0) & (m < col_limit)).sum()) for m in smaps)
+
         sweep = (
             _sharded_segment_sweep_fn(self.mesh, kernel)
             if self.mesh is not None
@@ -503,7 +549,7 @@ class TpuSearchEngine:
                 for a, b in np.argwhere(bits):
                     ia = int(rmap[d * local_slots + a])
                     ib = int(smaps[t][b])
-                    if ia >= 0 and ib >= 0:
+                    if ia >= 0 and ib >= 0 and (col_limit is None or ib < col_limit):
                         out.append(
                             (ia, ib, int(matchHashBytes(row_blob[ia], col_blob[ib])))
                         )
@@ -519,14 +565,14 @@ class TpuSearchEngine:
                 self._put_rows(slot_ids),
                 self._put_rows(cnt),
             )
-            inflight.append((rmap, rn, sweep(*row_args, cf, ci, cc, min_sim_dev)))
+            inflight.append((rmap, rn, sweep(*row_args, cf, ci, cc, valid, min_sim_dev)))
             while len(inflight) >= self.MAX_TILES_IN_FLIGHT:
                 drain(*inflight.popleft())
         while inflight:
             drain(*inflight.popleft())
         return out
 
-    def _long_video_pairs(self, rows, row_phashes, cols, all_phashes, min_sim):
+    def _long_video_pairs(self, rows, row_phashes, cols, all_phashes, min_sim, col_limit=None):
         """Exact host-side comparison for videos too long to bucket.
 
         Covers (long row x every col) and (every row x long col) without
@@ -534,6 +580,8 @@ class TpuSearchEngine:
         pool (native matchHashBytes releases the GIL) and reports through
         the same progress callback as the device tiles — a long video
         costs a full corpus sweep, which would otherwise look like a hang.
+        Under col_limit, corpus columns >= the limit are excluded (both as
+        comparison targets and as flipped long-column jobs).
         """
         import os
         from concurrent.futures import ThreadPoolExecutor
@@ -542,7 +590,9 @@ class TpuSearchEngine:
 
         out: list[tuple[int, int, int]] = []
         nonempty_cols = [
-            (j, blob) for j, blob in enumerate(all_phashes) if len(blob) > 0
+            (j, blob)
+            for j, blob in enumerate(all_phashes)
+            if len(blob) > 0 and (col_limit is None or j < col_limit)
         ]
         nonempty_rows = [
             (i, blob) for i, blob in enumerate(row_phashes) if len(blob) > 0
@@ -552,7 +602,11 @@ class TpuSearchEngine:
         # (index, blob, others, flipped): flipped jobs come from long corpus
         # columns and emit (row, col) with the long video as the column
         jobs = [(i, blob, nonempty_cols, False) for i, blob in rows.long]
-        jobs += [(j, blob, short_rows, True) for j, blob in cols.long]
+        jobs += [
+            (j, blob, short_rows, True)
+            for j, blob in cols.long
+            if col_limit is None or j < col_limit
+        ]
         if not jobs:
             return out
         if self._progress_cb is not None:
@@ -580,10 +634,13 @@ class TpuSearchEngine:
     #: host extracts hits from tile k (bounded to cap HBM held by results)
     MAX_TILES_IN_FLIGHT = 4
 
-    def _collect_hits(self, out, cnt_dev, sim_dev, meta, r_idx, c_idx, min_sim):
+    def _collect_hits(self, out, cnt_dev, sim_dev, meta, r_idx, c_idx, min_sim, col_limit=None):
         i0, j0, ri_n, cj_n = meta
         if self._progress_cb is not None:
-            self._progress_done += ri_n * cj_n
+            cj_eff = cj_n
+            if col_limit is not None:  # count only in-limit columns
+                cj_eff = int(np.searchsorted(c_idx[j0 : j0 + cj_n], col_limit))
+            self._progress_done += ri_n * cj_eff
             self._progress_cb(self._progress_done, self._progress_total)
         # device-side gate: most tiles of a real corpus contain no hits, so
         # fetch a 4-byte count instead of the full [tr, tc] int32 block
@@ -593,7 +650,10 @@ class TpuSearchEngine:
         hits = np.argwhere(sim >= min_sim)
         for a, b in hits:
             if a < ri_n and b < cj_n:
-                out.append((int(r_idx[i0 + a]), int(c_idx[j0 + b]), int(sim[a, b])))
+                cj = int(c_idx[j0 + b])
+                if col_limit is not None and cj >= col_limit:
+                    continue
+                out.append((int(r_idx[i0 + a]), cj, int(sim[a, b])))
 
     def _put_rows(self, arr: np.ndarray):
         """Row-block array onto the device(s) once per row block."""
@@ -615,31 +675,36 @@ class TpuSearchEngine:
 
         return jax.device_put(arr, NamedSharding(self.mesh, P()))
 
-    def _stream_tiles(self, row_blocks, col_tiles, compute, r_idx, c_idx, min_sim):
+    def _stream_tiles(self, row_blocks, col_tiles, compute, r_idx, c_idx, min_sim, col_limit=None):
         """Shared tile-streaming machinery for both engine routes: iterate
         (row block x column tile), keep MAX_TILES_IN_FLIGHT device results
         pending, drain through the hit-count gate.
 
         row_blocks: iterable of (i0, ri_n, row_args); col_tiles: list of
         (j0, cj_n, col_args); compute(row_args, col_args) -> device sim.
+        Under col_limit, column tiles that start at or past the limit are
+        skipped entirely (c_idx is ascending within a bucket); the boundary
+        tile computes and is filtered in _collect_hits.
         """
         out = []
         inflight: deque = deque()
         min_sim_dev = jnp.int32(min_sim)
         for i0, ri_n, row_args in row_blocks:
             for j0, cj_n, col_args in col_tiles:
+                if col_limit is not None and int(c_idx[j0]) >= col_limit:
+                    continue
                 sim_dev = compute(row_args, col_args)
                 cnt = _hit_count(sim_dev, min_sim_dev)
                 inflight.append((cnt, sim_dev, (i0, j0, ri_n, cj_n)))
                 while len(inflight) >= self.MAX_TILES_IN_FLIGHT:
-                    self._collect_hits(out, *inflight.popleft(), r_idx, c_idx, min_sim)
+                    self._collect_hits(out, *inflight.popleft(), r_idx, c_idx, min_sim, col_limit)
         while inflight:
-            self._collect_hits(out, *inflight.popleft(), r_idx, c_idx, min_sim)
+            self._collect_hits(out, *inflight.popleft(), r_idx, c_idx, min_sim, col_limit)
         return out
 
     def _bucket_pair(
         self, pa, r_idx, r_frames, r_counts, pb, c_idx, c_frames, c_counts, min_sim,
-        col_cache=None, row_pm1_cache=None,
+        col_cache=None, row_pm1_cache=None, col_limit=None,
     ):
         # scale tiles to the bucket frame counts so the materialized
         # frame-pair block stays bounded (~32 MB int32) for any bucket
@@ -680,11 +745,13 @@ class TpuSearchEngine:
                 return sharded_tile_similarity(self.mesh, rf, rc, cf, cc, pa, pb)
             return _tile_similarity(rf, rc, cf, cc, pa, pb)
 
-        return self._stream_tiles(row_blocks(), col_tiles, compute, r_idx, c_idx, min_sim)
+        return self._stream_tiles(
+            row_blocks(), col_tiles, compute, r_idx, c_idx, min_sim, col_limit
+        )
 
     def _bucket_pair_pallas(
         self, pa, r_idx, r_frames, r_counts, pb, c_idx, c_frames, c_counts, min_sim,
-        col_cache=None, row_pm1_cache=None,
+        col_cache=None, row_pm1_cache=None, col_limit=None,
     ):
         from ..ops import similarity_pallas as sp
 
@@ -745,7 +812,9 @@ class TpuSearchEngine:
                 return sharded_similarity_block_pallas(self.mesh, rf, rc, cf, cc, pa, pb)
             return sp.similarity_block_pallas(rf, rc, cf, cc, pa, pb)
 
-        return self._stream_tiles(row_blocks(), col_tiles, compute, r_idx, c_idx, min_sim)
+        return self._stream_tiles(
+            row_blocks(), col_tiles, compute, r_idx, c_idx, min_sim, col_limit
+        )
 
 
 # ---------------------------------------------------------------------------

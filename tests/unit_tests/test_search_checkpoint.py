@@ -120,6 +120,82 @@ def test_chunked_run_matches_unchunked(fake_server, tmp_path, monkeypatch):
     assert _searched_count(db) == n_files
 
 
+def _random_corpus(rng, with_long=False):
+    n = int(rng.integers(10, 60))
+    vids = []
+    for _ in range(n):
+        c = int(rng.choice([0, 1, 2, 5, 9, 17]))
+        vids.append(rng.integers(0, 256, (c, 32), dtype=np.uint8).tobytes())
+    if n >= 6:
+        vids[5] = vids[2]  # planted dup
+    if with_long:
+        vids[0] = rng.integers(0, 256, (1025, 32), dtype=np.uint8).tobytes()
+    return vids
+
+
+@pytest.mark.parametrize("force_segments", [False, True])
+def test_col_limit_property(rng, force_segments):
+    """Property: find_pairs(col_limit=L) returns exactly the full-sweep hits
+    whose corpus index is < L, on both engine routes, including the host
+    long-video path."""
+    from hydrus_video_deduplicator_tpu.parallel.engine import TpuSearchEngine
+
+    for trial in range(4):
+        vids = _random_corpus(rng, with_long=(trial == 0))
+        n = len(vids)
+        eng = TpuSearchEngine(
+            tile_rows=8, tile_cols=8, force_segments=force_segments
+        )
+        full = eng.find_pairs(vids, vids, 75)
+        for limit in {1, n // 3, n // 2, n}:
+            want = sorted(h for h in full if h[1] < limit)
+            got = sorted(eng.find_pairs(vids, vids, 75, col_limit=limit))
+            assert got == want, f"trial {trial} limit {limit}"
+
+
+@pytest.mark.parametrize("force_segments", [False, True])
+def test_triangle_schedule_property(rng, force_segments):
+    """Property: the stage-4 triangle schedule (chunks in corpus order, each
+    chunk limited to the corpus prefix ending at its own end, one shared
+    col_state) finds every unordered pair: same-chunk pairs in both
+    directions, cross-chunk pairs exactly once (later row, earlier column),
+    self-matches once — i.e. the square sweep minus one copy of each
+    cross-chunk pair."""
+    from hydrus_video_deduplicator_tpu.parallel.engine import TpuSearchEngine
+
+    for trial in range(4):
+        vids = _random_corpus(rng, with_long=(trial == 0))
+        n = len(vids)
+        eng = TpuSearchEngine(
+            tile_rows=8, tile_cols=8, force_segments=force_segments
+        )
+        square = eng.find_pairs(vids, vids, 75)
+
+        col_state: dict = {}
+        got = []
+        bounds = []
+        k0 = 0
+        while k0 < n:
+            step = int(rng.integers(1, max(2, n // 3)))
+            k1 = min(n, k0 + step)
+            bounds.append((k0, k1))
+            hits = eng.find_pairs(
+                vids[k0:k1], vids, 75, col_state=col_state, col_limit=k1
+            )
+            got.extend((r + k0, c, s) for r, c, s in hits)
+            k0 = k1
+
+        def chunk_of(i):
+            return next(k for k, (a, b) in enumerate(bounds) if a <= i < b)
+
+        want = [
+            (r, c, s)
+            for r, c, s in square
+            if r == c or chunk_of(r) == chunk_of(c) or r > c
+        ]
+        assert sorted(got) == sorted(want), f"trial {trial}"
+
+
 def test_chunked_find_pairs_property(rng):
     """Property: for random corpora (mixed frame counts incl. empty and
     long videos) and random chunk splits, the union of per-chunk hits with
