@@ -487,6 +487,20 @@ class TpuSearchEngine:
                 ids.append(slot_ids)
                 cnts_h.append(cnt)
                 smaps.append(smap)
+            # pad the tile count to the next power of two with empty
+            # (validity-skipped) tiles: the scan length bakes into the
+            # compiled program, so without padding every distinct corpus
+            # size costs a fresh multi-minute XLA compile of the T-step
+            # scan; padded, one compile covers the whole power-of-two range
+            n_real = len(pm1s)
+            n_pad = 1
+            while n_pad < n_real:
+                n_pad <<= 1
+            for _ in range(n_pad - n_real):
+                pm1s.append(np.zeros_like(pm1s[0]))
+                ids.append(np.full_like(ids[0], -1))
+                cnts_h.append(np.zeros_like(cnts_h[0]))
+                smaps.append(np.full_like(smaps[0], -1))
             cols_stacked = (
                 self._put_cols(np.stack(pm1s)),
                 self._put_cols(np.stack(ids)),
@@ -499,15 +513,16 @@ class TpuSearchEngine:
         cf, ci, cc, smaps, total_cols = cols_stacked
         n_tiles = len(smaps)
 
-        # per-tile validity under col_limit: a tile is scanned only if it
-        # holds at least one video below the limit (device-side branch)
+        # per-tile validity: a tile is scanned only if it holds at least
+        # one video (below col_limit, when given) — skips both the
+        # col_limit prefix restriction and the power-of-two padding tiles
+        # with a device-side branch
         if col_limit is None:
-            valid = jnp.ones((n_tiles,), bool)
+            valid = jnp.asarray([bool((m >= 0).any()) for m in smaps])
         else:
-            valid_np = np.asarray(
+            valid = jnp.asarray(
                 [bool(((m >= 0) & (m < col_limit)).any()) for m in smaps]
             )
-            valid = jnp.asarray(valid_np)
             total_cols = sum(int(((m >= 0) & (m < col_limit)).sum()) for m in smaps)
 
         sweep = (
