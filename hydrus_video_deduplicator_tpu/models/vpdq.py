@@ -210,6 +210,25 @@ class TpuVideoHasher:
         }
         done_decoding = 0
 
+        # one device batch stays in flight while the host keeps decoding:
+        # jax dispatch is async, so submit returns immediately and the
+        # np.asarray in drain is where the host actually waits
+        from collections import deque
+
+        inflight: deque = deque()
+
+        def drain_one():
+            words_dev, qual_dev, owners, n = inflight.popleft()
+            words = np.asarray(words_dev)[:n]
+            qual = np.asarray(qual_dev)[:n]
+            from .pdq import words_to_blobs
+
+            blobs = words_to_blobs(words)
+            for i in range(n):
+                owner, frame_no = owners[i]
+                blob = blobs[i] if qual[i] >= self.quality_min else b""
+                hashes_per_video[owner].append((frame_no, blob))
+
         def flush(batch_frames, batch_owner):
             if not batch_frames:
                 return
@@ -220,16 +239,10 @@ class TpuVideoHasher:
                     (self.batch_size - n,) + batch.shape[1:], dtype=batch.dtype
                 )
                 batch = np.concatenate([batch, pad])
-            words, qual = self._hash_batch(batch)
-            words = np.asarray(words)[:n]
-            qual = np.asarray(qual)[:n]
-            from .pdq import words_to_blobs
-
-            blobs = words_to_blobs(words)
-            for i in range(n):
-                owner, frame_no = batch_owner[i]
-                blob = blobs[i] if qual[i] >= self.quality_min else b""
-                hashes_per_video[owner].append((frame_no, blob))
+            words_dev, qual_dev = self._hash_batch(batch)
+            inflight.append((words_dev, qual_dev, batch_owner, n))
+            while len(inflight) > 1:
+                drain_one()
 
         try:
             while done_decoding < len(items):
@@ -249,6 +262,8 @@ class TpuVideoHasher:
                     if progress:
                         progress(done_decoding, len(items))
             flush(pending_frames, pending_owner)
+            while inflight:
+                drain_one()
         except BaseException:
             # device/hash failure (or CTRL+C): release workers blocked on
             # the bounded queue before propagating — otherwise they leak,
