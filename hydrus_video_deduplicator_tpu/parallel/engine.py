@@ -463,6 +463,18 @@ class TpuSearchEngine:
 
         if not seg_rows or not seg_cols:
             return []
+        import os
+        import time as _time
+
+        _debug = os.environ.get("HVD_DEBUG_TIMING")
+        _t0 = _time.time()
+
+        def _lap(label):
+            nonlocal _t0
+            if _debug:
+                now = _time.time()
+                print(f"[seg-timing] {label}: {now - _t0:.1f}s", flush=True)
+                _t0 = now
         kernel = (
             seg.similarity_segments_pallas
             if jax.devices()[0].platform == "tpu"
@@ -473,6 +485,7 @@ class TpuSearchEngine:
 
         row_blocks = seg.pack_blocks(seg_rows, seg.ROW_FRAMES, seg.ROW_SLOTS)
         chunks_per_tile = seg.TILE_COL_STEPS * seg.N_SPLIT
+        _lap("row pack")
 
         cols_stacked = None if state is None else state.get("seg_scan_cols")
         if cols_stacked is None:
@@ -510,6 +523,15 @@ class TpuSearchEngine:
             )
             if state is not None:
                 state["seg_scan_cols"] = cols_stacked
+            _lap("col pack+stack+upload enqueue")
+            # force the column upload to finish before row dispatches start:
+            # a partially-streamed multi-GB H2D otherwise head-of-line
+            # blocks every row-tile dispatch/fetch behind it in the
+            # transport (block_until_ready is unreliable through the axon
+            # tunnel — sync via a tiny readback of each array instead)
+            for _arr in cols_stacked[:3]:
+                np.asarray(jax.device_get(_arr[-1, -1]))
+            _lap("col upload synced")
         cf, ci, cc, smaps, total_cols = cols_stacked
         n_tiles = len(smaps)
 
@@ -569,6 +591,7 @@ class TpuSearchEngine:
                             (ia, ib, int(matchHashBytes(row_blob[ia], col_blob[ib])))
                         )
 
+        n_tile_laps = 0
         for i0 in range(0, len(row_blocks), row_blocks_per_tile):
             group = row_blocks[i0 : i0 + row_blocks_per_tile]
             pm1, slot_ids, cnt, rmap = seg.stack_blocks(
@@ -581,10 +604,14 @@ class TpuSearchEngine:
                 self._put_rows(cnt),
             )
             inflight.append((rmap, rn, sweep(*row_args, cf, ci, cc, valid, min_sim_dev)))
+            if n_tile_laps < 8:
+                _lap(f"row tile {i0 // row_blocks_per_tile} dispatched")
+                n_tile_laps += 1
             while len(inflight) >= self.MAX_TILES_IN_FLIGHT:
                 drain(*inflight.popleft())
         while inflight:
             drain(*inflight.popleft())
+        _lap("row tiles + drain")
         return out
 
     def _long_video_pairs(self, rows, row_phashes, cols, all_phashes, min_sim, col_limit=None):
