@@ -121,7 +121,10 @@ def measure() -> dict:
     )
 
     # projection: 1M x 1M upper-triangle sweep on 8 chips (row-sharded,
-    # embarrassingly parallel — measured single-chip rate x 8)
+    # embarrassingly parallel — measured single-chip rate x 8). No longer
+    # only a projection: artifacts/sweep_1m_triangle_*.log records a real
+    # measured 1M x 1M exact triangle sweep through the production engine
+    # on one chip (see README "Performance"), consistent with this rate.
     total_pairs = 1_000_000 * 1_000_000 / 2
     projected_sec_v5e8 = total_pairs / (pairs_per_sec * 8)
     log(f"projected 1M-video all-pairs on v5e-8: {projected_sec_v5e8:,.1f} s")
