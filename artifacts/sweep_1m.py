@@ -34,9 +34,14 @@ import numpy as np
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 CHUNK = int(sys.argv[2]) if len(sys.argv) > 2 else 131_072
 MODE = sys.argv[3] if len(sys.argv) > 3 else "square"
+#: "uniform" = FRAMES frames per video; "mixed" = 1..64-frame ragged corpus
+#: (avg ~12; exercises the greedy packer + membership one-hots at scale)
+#: plus N_EMPTY empty hashes (must match nothing, incl. themselves)
+LENGTHS = sys.argv[4] if len(sys.argv) > 4 else "uniform"
 FRAMES = 8
 N_PLANT = 1_000  # adjacent pairs (always same-chunk)
 N_PLANT_FAR = 500  # pairs (k, k + N//2): always cross-chunk for CHUNK < N/2
+N_EMPTY = 100
 
 
 def log(msg):
@@ -55,12 +60,30 @@ def main():
 
     rng = np.random.default_rng(42)
     t0 = time.time()
-    raw = rng.integers(0, 256, (N, FRAMES * 32), dtype=np.uint8)
+    if LENGTHS == "uniform":
+        raw = rng.integers(0, 256, (N, FRAMES * 32), dtype=np.uint8)
+        blobs = [row.tobytes() for row in raw]
+        n_empty = 0
+    else:  # mixed: ragged 1..64-frame videos + some empty hashes
+        counts = rng.integers(1, 65, N)
+        flat = rng.integers(0, 256, (int(counts.sum()) * 32,), dtype=np.uint8)
+        offs = np.concatenate([[0], np.cumsum(counts * 32)])
+        fb = flat.tobytes()
+        blobs = [fb[offs[i] : offs[i + 1]] for i in range(N)]
+        empties = rng.choice(
+            np.arange(3 * N_PLANT, N - N // 2), size=N_EMPTY, replace=False
+        )
+        for e in empties:
+            blobs[int(e)] = b""
+        n_empty = N_EMPTY
 
     def plant(a, b):
-        raw[b] = raw[a]
-        flips = rng.integers(0, FRAMES * 32, size=3 * FRAMES)
-        raw[b, flips] ^= np.uint8(1 << int(rng.integers(0, 8)))
+        src = bytearray(blobs[a])
+        nf = len(src) // 32
+        flips = rng.integers(0, len(src), size=max(1, 3 * nf))
+        for f in flips:
+            src[int(f)] ^= 1 << int(rng.integers(0, 8))
+        blobs[b] = bytes(src)
 
     # near-duplicates: adjacent pairs (2k, 2k+1) — always same-chunk — plus
     # far pairs (k, k + N//2) — always cross-chunk at these chunk sizes
@@ -68,15 +91,16 @@ def main():
     far = [(2 * N_PLANT + k, 2 * N_PLANT + k + N // 2) for k in range(N_PLANT_FAR)]
     for a, b in pairs + far:
         plant(a, b)
-    blobs = [row.tobytes() for row in raw]
     expected = {}
     for a, b in pairs + far:
         s = int(matchHashBytes(blobs[a], blobs[b]))
         assert s >= 75, s
         expected[(a, b)] = s
         expected[(b, a)] = s
-    log(f"corpus: {N} videos x {FRAMES} frames, {N_PLANT} near + "
-        f"{N_PLANT_FAR} far planted pairs (synth {time.time()-t0:.1f}s)")
+    total_frames = sum(len(b) // 32 for b in blobs)
+    log(f"corpus: {N} videos ({LENGTHS}, {total_frames} frames, "
+        f"{n_empty} empty), {N_PLANT} near + {N_PLANT_FAR} far planted "
+        f"pairs (synth {time.time()-t0:.1f}s)")
 
     eng = TpuSearchEngine(pallas_min_work=0)
     col_state: dict = {}
@@ -117,10 +141,11 @@ def main():
     want_planted = 2 * same_chunk + (cross_chunk if MODE == "triangle" else 2 * cross_chunk)
     log(f"DONE [{MODE}]: {N}x{N} -> {pairs:.3g} compared pairs in {wall:.1f}s "
         f"wall ({pairs/wall:.3g} pairs/s end-to-end, one chip, remote tunnel)")
-    log(f"self-matches {hits_self}/{N}; planted hit events "
+    want_self = N - n_empty  # empty hashes match nothing, incl. themselves
+    log(f"self-matches {hits_self}/{want_self}; planted hit events "
         f"{hits_planted}/{want_planted}; false positives {len(extras)}; "
         f"wrong similarity {len(wrong_sim)}")
-    assert hits_self == N and hits_planted == want_planted
+    assert hits_self == want_self and hits_planted == want_planted
     assert not extras and not wrong_sim
     log("CORRECTNESS: exact")
 
