@@ -63,14 +63,19 @@ def measure() -> dict:
         ]
         rb = seg.pack_blocks(items_r, seg.ROW_FRAMES, seg.ROW_SLOTS)
         cc = seg.pack_blocks(items_c, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS)
-        rpm1, rsl, rcnt, _ = seg.stack_blocks(
+        rpk, rsl, rcnt, _ = seg.stack_blocks(
             rb, seg.TILE_ROW_BLOCKS, seg.ROW_FRAMES, seg.ROW_SLOTS
         )
         nch = seg.TILE_COL_STEPS * seg.N_SPLIT
-        cpm1, csl, ccnt, _ = seg.stack_blocks(cc, nch, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS)
+        cpk, csl, ccnt, _ = seg.stack_blocks(cc, nch, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS)
         rsl_d = jnp.asarray(rsl)
         rcnt_d = jnp.asarray(rcnt)
-        cols_args = tuple(jnp.asarray(x) for x in (cpm1, csl, ccnt))
+        # expand packed frames to the kernel's ±1 rows on device (the
+        # engine does the same; excluded from the timed loop)
+        rpm1 = seg.unpack_blocks_pm1(jnp.asarray(rpk), rsl_d)
+        csl_d = jnp.asarray(csl)
+        cpm1 = seg.unpack_blocks_pm1(jnp.asarray(cpk), csl_d)
+        cols_args = (cpm1, csl_d, jnp.asarray(ccnt))
 
         @jax.jit
         def chain(rp, carry):

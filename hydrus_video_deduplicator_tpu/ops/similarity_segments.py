@@ -37,6 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 from . import similarity as ops_sim
 from .similarity_pallas import BITS, MATCH_DOT, unpack_pm1_host
 
+#: uint32 lanes per packed 256-bit frame hash
+LANES = BITS // 32
+
 #: kernel row block: frames x video slots
 ROW_FRAMES = 2048
 ROW_SLOTS = 256
@@ -192,9 +195,16 @@ def similarity_segments_xla(a_pm1, slot_a, fa, b_pm1, slot_b, fb):
 
 @dataclass
 class PackedBlock:
-    """One fixed-shape block of packed videos."""
+    """One fixed-shape block of packed videos.
 
-    pm1: np.ndarray  # [frames, 256] int8 (zero rows past content)
+    Frames stay BIT-PACKED (8 uint32 lanes = 32 bytes/frame) until they
+    reach the device: shipping ±1 int8 rows costs 8x the transfer, and
+    H2D — not unpacking — is the practical bottleneck of corpus-scale
+    sweeps. unpack_blocks_pm1 expands to the kernel's ±1 layout on device
+    (padding rows zeroed via the slot ids).
+    """
+
+    packed: np.ndarray  # [frames, 8] uint32 (zero rows past content)
     slot_ids: np.ndarray  # [frames] int32 block-local slot id, -1 padding
     counts: np.ndarray  # [slots, 1] int32 (0 for empty slots)
     slot_map: np.ndarray  # [slots] int64 corpus index, -1 for empty slots
@@ -216,10 +226,9 @@ def pack_blocks(
     videos elsewhere). Items are packed in order; a block closes when the
     next video exceeds its remaining frames or slots (a closed block is
     never revisited — callers that want dense blocks should present items
-    roughly sorted by length, as the engine does). The ±1 bit-unpack is
-    vectorized per block (per-video unpacking was a serial bottleneck at
-    corpus scale; per-block keeps the speed with O(block) extra memory —
-    a whole-corpus unpack would transiently hold ~10 GB at 1M videos).
+    roughly sorted by length, as the engine does). Frames stay bit-packed
+    (see PackedBlock) — the whole host side of a 1M-video corpus is
+    ~260 MB instead of ~2.1 GB of ±1 rows.
     """
     # pass 1: slot/block assignment (pure integer bookkeeping)
     plans: list[list[tuple[int, int]]] = []  # per block: [(corpus idx, n), ...]
@@ -236,19 +245,18 @@ def pack_blocks(
     if cur:
         plans.append(cur)
 
-    # pass 2: per-block vectorized unpack (frames are independent 32-byte
-    # units, so a block's blobs concatenate)
+    # pass 2: per-block assembly (frames are independent 32-byte units, so
+    # a block's blobs concatenate directly into the packed array)
     blob_of = dict(items)
     blocks: list[PackedBlock] = []
     for plan in plans:
-        pm1 = np.zeros((frames_per_block, BITS), dtype=np.int8)
+        packed = np.zeros((frames_per_block, LANES), dtype=np.uint32)
         slot_ids = np.full((frames_per_block,), -1, dtype=np.int32)
         counts = np.zeros((slots_per_block, 1), dtype=np.int32)
         slot_map = np.full((slots_per_block,), -1, dtype=np.int64)
         n_block = sum(n for _, n in plan)
-        packed = ops_sim.blobs_to_packed(b"".join(blob_of[idx] for idx, _ in plan))
-        pm1[:n_block] = unpack_pm1_host(
-            packed.reshape(1, n_block, 8), np.asarray([n_block])
+        packed[:n_block] = ops_sim.blobs_to_packed(
+            b"".join(blob_of[idx] for idx, _ in plan)
         )
         f = 0
         for s, (idx, n) in enumerate(plan):
@@ -256,25 +264,51 @@ def pack_blocks(
             counts[s, 0] = n
             slot_map[s] = idx
             f += n
-        blocks.append(PackedBlock(pm1, slot_ids, counts, slot_map))
+        blocks.append(PackedBlock(packed, slot_ids, counts, slot_map))
     return blocks
 
 
 def stack_blocks(blocks: list[PackedBlock], n_blocks: int, frames: int, slots: int):
     """Stack (and pad with empty blocks) into tile arrays.
 
-    Returns (pm1 [n_blocks*frames, 256], slot_ids [n_blocks*frames],
+    Returns (packed [n_blocks*frames, 8] u32, slot_ids [n_blocks*frames],
     counts [n_blocks*slots, 1], slot_map [n_blocks*slots]). slot_ids stay
-    block-local: the kernel's one-hot blocks are per-block anyway.
+    block-local: the kernel's one-hot blocks are per-block anyway. Frames
+    are bit-packed — expand on device with unpack_blocks_pm1.
     """
     assert len(blocks) <= n_blocks
-    pm1 = np.zeros((n_blocks * frames, BITS), dtype=np.int8)
+    packed = np.zeros((n_blocks * frames, LANES), dtype=np.uint32)
     slot_ids = np.full((n_blocks * frames,), -1, dtype=np.int32)
     counts = np.zeros((n_blocks * slots, 1), dtype=np.int32)
     slot_map = np.full((n_blocks * slots,), -1, dtype=np.int64)
     for k, blk in enumerate(blocks):
-        pm1[k * frames : (k + 1) * frames] = blk.pm1
+        packed[k * frames : (k + 1) * frames] = blk.packed
         slot_ids[k * frames : (k + 1) * frames] = blk.slot_ids
         counts[k * slots : (k + 1) * slots] = blk.counts
         slot_map[k * slots : (k + 1) * slots] = blk.slot_map
-    return pm1, slot_ids, counts, slot_map
+    return packed, slot_ids, counts, slot_map
+
+
+@jax.jit
+def unpack_blocks_pm1(packed: jnp.ndarray, slot_ids: jnp.ndarray) -> jnp.ndarray:
+    """Device expand of stacked packed frames to the kernel's ±1 layout.
+
+    packed [..., F, 8] uint32, slot_ids [..., F] int32 -> [..., F, 256]
+    int8 in {-1, 0, +1}: hash bit set -> +1, clear -> -1, padding rows
+    (slot id -1, incl. whole padding tiles) -> exact zero rows so they can
+    never Hamming-match. Bit order identical to unpack_pm1_host.
+    """
+    shape = packed.shape
+    pm1 = ops_sim.unpack_pm1(packed.reshape(-1, LANES)).reshape(*shape[:-1], BITS)
+    return jnp.where((slot_ids >= 0)[..., None], pm1, jnp.int8(0))
+
+
+@jax.jit
+def unpack_blocks_pm1_stacked(packed: jnp.ndarray, slot_ids: jnp.ndarray) -> jnp.ndarray:
+    """unpack_blocks_pm1 over stacked tiles [T, F, 8], one tile at a time.
+
+    A whole-stack unpack materializes a u32 bit intermediate 4x the int8
+    output (~8.6 GB at 1M videos — HBM OOM); lax.map bounds the temps to
+    one tile (~17 MB) while producing the same [T, F, 256] result.
+    """
+    return jax.lax.map(lambda a: unpack_blocks_pm1(a[0], a[1]), (packed, slot_ids))

@@ -176,7 +176,13 @@ def _scan_sweep_body(rf, ri, rc, cf, ci, cc, valid, min_sim, kernel):
     an invalid tile costs neither kernel nor bitmask work. Triangle-order
     sweeps (dedup stage 4) use it to skip column tiles holding only
     not-yet-searched videos — a fresh all-pairs run does half the square's
-    device work."""
+    device work.
+
+    rf arrives BIT-PACKED ([F, 8] u32; 8x less H2D than ±1 rows) and is
+    expanded on device once per row tile, inside this jitted sweep."""
+    from ..ops import similarity_segments as seg
+
+    rf = seg.unpack_blocks_pm1(rf, ri)
     pow2 = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
 
     def step(carry, col):
@@ -490,13 +496,13 @@ class TpuSearchEngine:
         cols_stacked = None if state is None else state.get("seg_scan_cols")
         if cols_stacked is None:
             col_chunks = seg.pack_blocks(seg_cols, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS)
-            pm1s, ids, cnts_h, smaps = [], [], [], []
+            pks, ids, cnts_h, smaps = [], [], [], []
             for j0 in range(0, len(col_chunks), chunks_per_tile):
                 group = col_chunks[j0 : j0 + chunks_per_tile]
-                pm1, slot_ids, cnt, smap = seg.stack_blocks(
+                pk, slot_ids, cnt, smap = seg.stack_blocks(
                     group, chunks_per_tile, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS
                 )
-                pm1s.append(pm1)
+                pks.append(pk)
                 ids.append(slot_ids)
                 cnts_h.append(cnt)
                 smaps.append(smap)
@@ -505,18 +511,24 @@ class TpuSearchEngine:
             # compiled program, so without padding every distinct corpus
             # size costs a fresh multi-minute XLA compile of the T-step
             # scan; padded, one compile covers the whole power-of-two range
-            n_real = len(pm1s)
+            n_real = len(pks)
             n_pad = 1
             while n_pad < n_real:
                 n_pad <<= 1
             for _ in range(n_pad - n_real):
-                pm1s.append(np.zeros_like(pm1s[0]))
+                pks.append(np.zeros_like(pks[0]))
                 ids.append(np.full_like(ids[0], -1))
                 cnts_h.append(np.zeros_like(cnts_h[0]))
                 smaps.append(np.full_like(smaps[0], -1))
+            # frames travel BIT-PACKED (8x less H2D) and expand to the
+            # kernel's ±1 rows ON DEVICE, once — the pm1 expansion lives
+            # in HBM across the whole sweep (and, via col_state, across
+            # every chunk of a checkpointed stage-4 run)
+            ci_dev = self._put_cols(np.stack(ids))
+            cf_dev = self._unpack_cols(np.stack(pks), ci_dev)
             cols_stacked = (
-                self._put_cols(np.stack(pm1s)),
-                self._put_cols(np.stack(ids)),
+                cf_dev,
+                ci_dev,
                 self._put_cols(np.stack(cnts_h)),
                 smaps,
                 sum(int((m >= 0).sum()) for m in smaps),
@@ -524,11 +536,11 @@ class TpuSearchEngine:
             if state is not None:
                 state["seg_scan_cols"] = cols_stacked
             _lap("col pack+stack+upload enqueue")
-            # force the column upload to finish before row dispatches start:
-            # a partially-streamed multi-GB H2D otherwise head-of-line
-            # blocks every row-tile dispatch/fetch behind it in the
-            # transport (block_until_ready is unreliable through the axon
-            # tunnel — sync via a tiny readback of each array instead)
+            # force the column upload + device expansion to finish before
+            # row dispatches start: a partially-streamed multi-GB H2D
+            # otherwise head-of-line blocks every row-tile dispatch/fetch
+            # behind it in the transport (block_until_ready is unreliable
+            # through the axon tunnel — sync via a tiny readback instead)
             for _arr in cols_stacked[:3]:
                 np.asarray(jax.device_get(_arr[-1, -1]))
             _lap("col upload synced")
@@ -594,12 +606,13 @@ class TpuSearchEngine:
         n_tile_laps = 0
         for i0 in range(0, len(row_blocks), row_blocks_per_tile):
             group = row_blocks[i0 : i0 + row_blocks_per_tile]
-            pm1, slot_ids, cnt, rmap = seg.stack_blocks(
+            packed, slot_ids, cnt, rmap = seg.stack_blocks(
                 group, row_blocks_per_tile, seg.ROW_FRAMES, seg.ROW_SLOTS
             )
             rn = int((rmap >= 0).sum())
+            # rows also travel bit-packed; the sweep expands them on device
             row_args = (
-                self._put_rows(pm1),
+                self._put_rows(packed),
                 self._put_rows(slot_ids),
                 self._put_rows(cnt),
             )
@@ -716,6 +729,15 @@ class TpuSearchEngine:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         return jax.device_put(arr, NamedSharding(self.mesh, P()))
+
+    def _unpack_cols(self, packed_np: np.ndarray, ids_dev):
+        """Upload bit-packed column tiles (8x less H2D than ±1 rows) and
+        expand them to the kernel's ±1 int8 layout on device, tile by tile
+        (bounded temps). Replicated inputs keep the expansion replicated
+        under a mesh."""
+        from ..ops import similarity_segments as seg
+
+        return seg.unpack_blocks_pm1_stacked(self._put_cols(packed_np), ids_dev)
 
     def _stream_tiles(self, row_blocks, col_tiles, compute, r_idx, c_idx, min_sim, col_limit=None):
         """Shared tile-streaming machinery for both engine routes: iterate

@@ -105,14 +105,16 @@ def test_segment_kernel_matches_twin(rng):
 
     row_blocks = seg.pack_blocks(items, seg.ROW_FRAMES, seg.ROW_SLOTS)
     col_chunks = seg.pack_blocks(items, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS)
-    rpm1, roh, rcnt, rmap = seg.stack_blocks(
+    rpk, roh, rcnt, rmap = seg.stack_blocks(
         row_blocks[: seg.TILE_ROW_BLOCKS], seg.TILE_ROW_BLOCKS, seg.ROW_FRAMES, seg.ROW_SLOTS
     )
     n_chunks = seg.TILE_COL_STEPS * seg.N_SPLIT
-    cpm1, coh, ccnt, cmap = seg.stack_blocks(
+    cpk, coh, ccnt, cmap = seg.stack_blocks(
         col_chunks[:n_chunks], n_chunks, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS
     )
-    args = tuple(jnp.asarray(x) for x in (rpm1, roh, rcnt, cpm1, coh, ccnt))
+    rpm1 = seg.unpack_blocks_pm1(jnp.asarray(rpk), jnp.asarray(roh))
+    cpm1 = seg.unpack_blocks_pm1(jnp.asarray(cpk), jnp.asarray(coh))
+    args = (rpm1, *(jnp.asarray(x) for x in (roh, rcnt)), cpm1, *(jnp.asarray(x) for x in (coh, ccnt)))
     got = np.asarray(seg.similarity_segments_pallas(*args))
     want = np.asarray(seg.similarity_segments_xla(*args))
     assert np.array_equal(got, want)

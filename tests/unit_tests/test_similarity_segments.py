@@ -32,7 +32,7 @@ def test_pack_blocks_shapes_and_maps(rng):
     assert blocks
     seen = []
     for b in blocks:
-        assert b.pm1.shape == (seg.ROW_FRAMES, 256)
+        assert b.packed.shape == (seg.ROW_FRAMES, seg.LANES)
         assert b.slot_ids.shape == (seg.ROW_FRAMES,)
         # every real slot owns exactly its count of frame rows
         for s in range(seg.ROW_SLOTS):
@@ -40,10 +40,15 @@ def test_pack_blocks_shapes_and_maps(rng):
                 assert (b.slot_ids == s).sum() == b.counts[s, 0]
                 seen.append(int(b.slot_map[s]))
     assert sorted(seen) == [i for i, _ in items]
-    # frame rows of a slot are that video's pm1 rows
+    # the device expansion of a slot's frame rows is that video's pm1 rows
     i0, blob0 = items[0]
-    rows = blocks[0].pm1[: len(blob0) // 32]
+    pm1 = np.asarray(
+        seg.unpack_blocks_pm1(blocks[0].packed, blocks[0].slot_ids)
+    )
+    rows = pm1[: len(blob0) // 32]
     assert np.array_equal(rows, seg.blob_to_pm1(blob0))
+    # padding rows expand to exact zeros (they must never match)
+    assert not pm1[blocks[0].slot_ids < 0].any()
 
 
 def test_segments_twin_matches_bucketed_engine(rng):
