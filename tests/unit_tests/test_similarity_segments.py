@@ -51,6 +51,29 @@ def test_pack_blocks_shapes_and_maps(rng):
     assert not pm1[blocks[0].slot_ids < 0].any()
 
 
+def test_unpack_blocks_stacked_matches_host(rng):
+    """Device expansion of stacked packed tiles (tile-at-a-time lax.map)
+    equals the host ±1 unpack row for row, with padding rows exact zero."""
+    import jax.numpy as jnp
+
+    from hydrus_video_deduplicator_tpu.ops.similarity_pallas import unpack_pm1_host
+
+    items = [
+        (i, rng.integers(0, 256, (1 + i % 9, 32), dtype=np.uint8).tobytes())
+        for i in range(40)
+    ]
+    blocks = seg.pack_blocks(items, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS)
+    n = 4  # includes at least one all-padding tile
+    pk, sl, _, _ = seg.stack_blocks(blocks, n, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS)
+    pk_t = pk.reshape(n, seg.CHUNK_FRAMES, seg.LANES)
+    sl_t = sl.reshape(n, seg.CHUNK_FRAMES)
+    got = np.asarray(seg.unpack_blocks_pm1_stacked(jnp.asarray(pk_t), jnp.asarray(sl_t)))
+    want = unpack_pm1_host(pk_t, None).reshape(n, seg.CHUNK_FRAMES, 256).copy()
+    want[sl_t < 0] = 0
+    assert np.array_equal(got, want)
+    assert not got[-1].any()  # padding tile is all zeros
+
+
 def test_segments_twin_matches_bucketed_engine(rng):
     """Segment route (XLA twin on CPU) == bucketed route, pair for pair,
     on a ragged corpus with dups, an empty hash, and >SEG_MAX videos."""
