@@ -198,8 +198,12 @@ class HydrusVideoDeduplicator:
     SEARCH_COMMIT_BATCH = 64
     #: row files per checkpointed TPU-search chunk: after each chunk its
     #: pairs are marked and its search-cache entries committed, bounding
-    #: the work an interrupt can lose while keeping device batches large
+    #: the work an interrupt can lose while keeping device batches large.
+    #: At corpus scale the chunk size grows so the total chunk count stays
+    #: <= SEARCH_MAX_CHUNKS (per-chunk fixed costs — row indexing/packing/
+    #: upload, result drain — would otherwise add minutes at 1M files).
     SEARCH_CHECKPOINT_ROWS = 8192
+    SEARCH_MAX_CHUNKS = 64
     #: use the TPU engine when at least this many files need searching
     TPU_ENGINE_MIN_BATCH = 16
 
@@ -835,6 +839,10 @@ class HydrusVideoDeduplicator:
         # batched MARK_BATCH pairs per request instead of one HTTP
         # round-trip per pair.
         rows_done = 0
+        chunk_rows = max(
+            self.SEARCH_CHECKPOINT_ROWS,
+            -(-len(files) // self.SEARCH_MAX_CHUNKS),
+        )
         with tqdm(
             total=100,
             desc="Searching for duplicates (all-pairs engine)",
@@ -842,8 +850,8 @@ class HydrusVideoDeduplicator:
             unit="%",
             colour="BLUE",
         ) as search_bar:
-            for k0 in range(0, len(files), self.SEARCH_CHECKPOINT_ROWS):
-                chunk_files = files[k0 : k0 + self.SEARCH_CHECKPOINT_ROWS]
+            for k0 in range(0, len(files), chunk_rows):
+                chunk_files = files[k0 : k0 + chunk_rows]
                 if self.should_skip_step_fn and self.should_skip_step_fn():
                     return num_similar_pairs // 2
                 chunk_row_ids = [h for h in chunk_files if h in pos_in_rows]
