@@ -48,6 +48,12 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.hvd_match_hash_bytes.argtypes = [u8p, ctypes.c_long, u8p, ctypes.c_long, ctypes.c_int]
     lib.hvd_match_hash_bytes.restype = ctypes.c_double
     lib.hvd_hamming_matrix.argtypes = [u8p, ctypes.c_long, u8p, ctypes.c_long, i32p]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.hvd_cluster_reps.argtypes = [u8p, ctypes.c_long, ctypes.c_int, i32p]
+    lib.hvd_cluster_reps.restype = ctypes.c_long
+    lib.hvd_cluster_reps_batch.argtypes = [
+        u8p, i64p, ctypes.c_long, ctypes.c_int, i32p, i32p,
+    ]
     lib.hvd_hasher_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.hvd_hasher_create.restype = ctypes.c_void_p
     lib.hvd_hasher_push.argtypes = [ctypes.c_void_p, u8p]
@@ -137,6 +143,43 @@ def match_hash_bytes(a: bytes, b: bytes, tolerance: int = 31) -> float:
     return float(
         lib.hvd_match_hash_bytes(_u8p(a), len(a), _u8p(b), len(b), int(tolerance))
     )
+
+
+def cluster_reps_batch(blob_all, offsets, radius_cap: int):
+    """Greedy leader clustering over a whole corpus in one call.
+
+    blob_all: every video's packed frames concatenated; offsets: int64
+    [n_videos+1] frame offsets delimiting each video. Returns
+    (leaders [total_k] int32 global frame indices, counts [n_videos]
+    int32). Invariant: every frame is within radius_cap Hamming of its
+    video's leader frame — the exactness contract of ops/reps.py.
+    """
+    import numpy as np
+
+    lib = get_lib()
+    assert lib is not None
+    if isinstance(blob_all, np.ndarray):  # zero-copy for corpus-scale arrays
+        blob_p = np.ascontiguousarray(blob_all, dtype=np.uint8).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)
+        )
+    else:
+        blob_p = _u8p(blob_all)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n_videos = len(offsets) - 1
+    n_frames = int(offsets[-1])
+    leaders = np.zeros(max(n_frames, 1), dtype=np.int32)
+    counts = np.zeros(max(n_videos, 1), dtype=np.int32)
+    if n_videos:
+        lib.hvd_cluster_reps_batch(
+            blob_p,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_videos,
+            int(radius_cap),
+            leaders.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    total = int(counts.sum())
+    return leaders[:total].copy(), counts[:n_videos]
 
 
 def hamming_matrix(a: bytes, b: bytes):

@@ -393,6 +393,48 @@ double hvd_match_hash_bytes(const uint8_t* a, long alen, const uint8_t* b, long 
     return match_hash_bytes_impl(a, alen, b, blen, tol);
 }
 
+// Greedy leader clustering of one video's frame hashes (the exact-prune
+// representative extraction, ops/reps.py): frames scan the leaders in
+// creation order and join the FIRST leader within radius_cap; otherwise
+// they become a new leader. Invariant (the exactness contract of the
+// pruned search route): every frame is within radius_cap Hamming of the
+// leader frame of its cluster. out_leaders receives the frame indices of
+// the leaders in creation order; returns the leader count k (<= n).
+long hvd_cluster_reps(const uint8_t* blob, long n, int radius_cap, int32_t* out_leaders) {
+    long k = 0;
+    for (long i = 0; i < n; i++) {
+        const uint8_t* f = blob + i * PDQ_BYTES_PER_HASH;
+        bool covered = false;
+        for (long c = 0; c < k; c++) {
+            const uint8_t* leader = blob + (size_t)out_leaders[c] * PDQ_BYTES_PER_HASH;
+            if (hamming256(f, leader) <= radius_cap) {
+                covered = true;
+                break;
+            }
+        }
+        if (!covered) out_leaders[k++] = (int32_t)i;
+    }
+    return k;
+}
+
+// Batched hvd_cluster_reps over a whole corpus: blob holds every video's
+// frames concatenated; offsets[v]..offsets[v+1] (in frames) delimit video
+// v. out_leaders receives GLOBAL frame indices, videos back to back;
+// out_counts[v] = leader count of video v. One call per corpus keeps the
+// ctypes boundary off the per-video path (1M videos = 1 call).
+void hvd_cluster_reps_batch(const uint8_t* blob, const int64_t* offsets, long n_videos,
+                            int radius_cap, int32_t* out_leaders, int32_t* out_counts) {
+    long w = 0;
+    for (long v = 0; v < n_videos; v++) {
+        long f0 = offsets[v], f1 = offsets[v + 1];
+        long k = hvd_cluster_reps(blob + f0 * PDQ_BYTES_PER_HASH, f1 - f0, radius_cap,
+                                  out_leaders + w);
+        for (long c = 0; c < k; c++) out_leaders[w + c] += (int32_t)f0;
+        out_counts[v] = (int32_t)k;
+        w += k;
+    }
+}
+
 // All-pairs frame Hamming distances: [na,32] x [nb,32] -> int32 [na*nb].
 void hvd_hamming_matrix(const uint8_t* a, long na, const uint8_t* b, long nb, int32_t* out) {
     for (long i = 0; i < na; i++)

@@ -189,6 +189,125 @@ def similarity_segments_xla(a_pm1, slot_a, fa, b_pm1, slot_b, fb):
 
 
 # ---------------------------------------------------------------------------
+# Existence ("prune") kernel — the candidate filter of the pruned route
+# ---------------------------------------------------------------------------
+#
+# Same packing/layout as the similarity kernel, but (a) the Hamming
+# tolerance is a parameter (the pruned route sweeps scene representatives
+# at the inflated tolerance TOL + 2*RADIUS_CAP — ops/reps.py), and (b) the
+# output is the per-slot-pair count of row reps matching the col slot
+# (>= 1 <=> some rep pair within tolerance <=> the video pair survives the
+# exact prune bound). Dropping the second direction and the fraction
+# epilogue removes half the elementwise passes over the [ROW_FRAMES,
+# CHUNK_FRAMES] match intermediate — the measured bound of the similarity
+# kernel (ROADMAP "Similarity kernel ceiling").
+
+
+def _segment_exists_kernel_body(match_dot, a_ref, b_ref, oa_ref, ob_ref, out_ref):
+    a = a_ref[:]  # [ROW_FRAMES, 256] int8 (zero rows never match)
+    onehot_a = oa_ref[:]  # [ROW_FRAMES, ROW_SLOTS] int8
+    for s in range(N_SPLIT):
+        b = b_ref[s * CHUNK_FRAMES : (s + 1) * CHUNK_FRAMES, :]
+        onehot_b = ob_ref[s * CHUNK_FRAMES : (s + 1) * CHUNK_FRAMES, :]
+        dot = jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )  # [ROW_FRAMES, CHUNK_FRAMES]
+        m8 = (dot >= match_dot).astype(jnp.int8)
+        cnt_b = jax.lax.dot_general(
+            m8, onehot_b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )  # [ROW_FRAMES, CHUNK_SLOTS]
+        hits_b = (cnt_b > 0).astype(jnp.int8)
+        ma = jax.lax.dot_general(
+            onehot_a, hits_b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )  # [ROW_SLOTS, CHUNK_SLOTS]
+        out_ref[:, s * CHUNK_SLOTS : (s + 1) * CHUNK_SLOTS] = ma
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def make_exists_kernel_pallas(tolerance: int):
+    """Jitted existence kernel for one Hamming tolerance (TPU only).
+
+    Signature-compatible with similarity_segments_pallas (fa/fb accepted
+    and ignored) so the engine's scan-sweep machinery drives either."""
+    match_dot = BITS - 2 * tolerance
+    kernel = _functools.partial(_segment_exists_kernel_body, match_dot)
+
+    @jax.jit
+    def exists(a_pm1, slot_a, fa, b_pm1, slot_b, fb):
+        del fa, fb
+        oa = _onehot_from_slots(slot_a, ROW_SLOTS)
+        ob = _onehot_from_slots(slot_b, CHUNK_SLOTS)
+        ra_f = a_pm1.shape[0]
+        cb_f = b_pm1.shape[0]
+        assert ra_f % ROW_FRAMES == 0 and cb_f % STEP_FRAMES == 0, (ra_f, cb_f)
+        n_row_blocks = ra_f // ROW_FRAMES
+        n_col_steps = cb_f // STEP_FRAMES
+        grid_spec = pl.GridSpec(
+            grid=(n_col_steps, n_row_blocks),
+            in_specs=[
+                pl.BlockSpec((ROW_FRAMES, BITS), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((STEP_FRAMES, BITS), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_FRAMES, ROW_SLOTS), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((STEP_FRAMES, CHUNK_SLOTS), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (ROW_SLOTS, STEP_SLOTS), lambda j, i: (i, j), memory_space=pltpu.VMEM
+            ),
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_row_blocks * ROW_SLOTS, n_col_steps * STEP_SLOTS), jnp.int32
+            ),
+            grid_spec=grid_spec,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * ra_f * cb_f * BITS,
+                bytes_accessed=ra_f * BITS + cb_f * BITS + ra_f // 8 * cb_f // 8 * 4,
+                transcendentals=0,
+            ),
+        )(a_pm1, b_pm1, oa, ob)
+
+    return exists
+
+
+@_functools.lru_cache(maxsize=8)
+def make_exists_kernel_xla(tolerance: int):
+    """Plain-XLA twin of make_exists_kernel_pallas (CPU oracle/route)."""
+    match_dot = BITS - 2 * tolerance
+
+    @jax.jit
+    def exists(a_pm1, slot_a, fa, b_pm1, slot_b, fb):
+        del fa, fb
+        oa = _onehot_from_slots(slot_a, ROW_SLOTS)
+        ob = _onehot_from_slots(slot_b, CHUNK_SLOTS)
+        ra_f = a_pm1.shape[0]
+        cb_f = b_pm1.shape[0]
+        n_row_blocks = ra_f // ROW_FRAMES
+        n_chunks = cb_f // CHUNK_FRAMES
+        row_outs = []
+        for i in range(n_row_blocks):
+            a = a_pm1[i * ROW_FRAMES : (i + 1) * ROW_FRAMES]
+            oha = oa[i * ROW_FRAMES : (i + 1) * ROW_FRAMES]
+            outs = []
+            for c in range(n_chunks):
+                b = b_pm1[c * CHUNK_FRAMES : (c + 1) * CHUNK_FRAMES]
+                ohb = ob[c * CHUNK_FRAMES : (c + 1) * CHUNK_FRAMES]
+                dot = jax.lax.dot_general(
+                    a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+                )
+                m = (dot >= match_dot).astype(jnp.int32)
+                hits_b = (m @ ohb.astype(jnp.int32) > 0).astype(jnp.int32)
+                outs.append(oha.astype(jnp.int32).T @ hits_b)
+            row_outs.append(jnp.concatenate(outs, axis=1))
+        return jnp.concatenate(row_outs, axis=0)
+
+    return exists
+
+
+# ---------------------------------------------------------------------------
 # Host-side greedy packer
 # ---------------------------------------------------------------------------
 

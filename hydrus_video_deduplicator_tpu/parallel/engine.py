@@ -449,7 +449,123 @@ class TpuSearchEngine:
         )
         return out
 
-    def _segment_route(self, seg_rows, seg_cols, min_sim, state=None, col_limit=None):
+    def find_pairs_pruned(
+        self,
+        row_phashes: list[bytes],
+        all_phashes: list[bytes],
+        min_int_similarity: int,
+        progress=None,
+        col_state: dict | None = None,
+        col_limit: int | None = None,
+        radius_cap: int | None = None,
+    ) -> list[tuple[int, int, int]]:
+        """find_pairs with the exact scene-representative prune.
+
+        Identical result contract to find_pairs (tests assert pair-set
+        equality); the difference is cost on realistic corpora: instead
+        of comparing every frame pair of every video pair, stage 1 sweeps
+        each video's scene representatives (ops/reps.py greedy leaders,
+        radius <= radius_cap) at the inflated tolerance
+        TOL + 2*radius_cap — by the triangle inequality a video pair with
+        NO leader-pair match within that tolerance has similarity exactly
+        0 and is skipped — and stage 2 computes the exact similarity of
+        the surviving candidates only (ops/pair_verify.py batched MXU
+        contractions). Device work drops from (total frames)^2 to
+        (total scene leaders)^2 + (candidate pairs x their frames^2).
+
+        Videos longer than the segment limit take the same bucketed/host
+        paths as find_pairs, unpruned (complement sweeps below).
+        """
+        assert min_int_similarity >= 1, "minimum similarity must be >= 1"
+        from ..ops import pair_verify
+        from ..ops import reps as reps_mod
+        from ..ops import similarity_segments as seg
+
+        radius_cap = reps_mod.RADIUS_CAP if radius_cap is None else radius_cap
+        state = col_state if col_state is not None else {}
+        prune_state = state.setdefault("prune", {})
+
+        def n_frames(b: bytes) -> int:
+            return len(b) // BYTES
+
+        seg_row_idx = [
+            i for i, b in enumerate(row_phashes)
+            if 1 <= n_frames(b) <= seg.SEG_MAX_FRAMES
+        ]
+        row_reps = reps_mod.extract_reps(
+            [row_phashes[i] for i in seg_row_idx], radius_cap
+        )
+        seg_rows = list(zip(seg_row_idx, row_reps))
+
+        seg_cols = prune_state.get("rep_cols")
+        if seg_cols is None:
+            seg_col_idx = [
+                j for j, b in enumerate(all_phashes)
+                if 1 <= n_frames(b) <= seg.SEG_MAX_FRAMES
+            ]
+            col_reps = reps_mod.extract_reps(
+                [all_phashes[j] for j in seg_col_idx], radius_cap
+            )
+            seg_cols = prune_state["rep_cols"] = list(zip(seg_col_idx, col_reps))
+
+        tol_prune = reps_mod.prune_tolerance(radius_cap)
+        kernel = (
+            seg.make_exists_kernel_pallas(tol_prune)
+            if jax.devices()[0].platform == "tpu"
+            else seg.make_exists_kernel_xla(tol_prune)
+        )
+        self._progress_done = 0
+        self._progress_total = len(seg_rows) * len(seg_cols)
+        self._progress_cb = progress
+        candidates = self._segment_route(
+            seg_rows, seg_cols, 1, prune_state, col_limit,
+            kernel=kernel, with_sims=False,
+        )
+        out = pair_verify.verify_pairs(
+            candidates, row_phashes, all_phashes, min_int_similarity
+        )
+
+        # Complement sweeps (unpruned find_pairs with the seg-eligible
+        # side emptied — empty blobs match nothing): long rows x every
+        # col, then seg rows x long cols. No overlap, no double count.
+        long_rows = {
+            i for i, b in enumerate(row_phashes) if n_frames(b) > seg.SEG_MAX_FRAMES
+        }
+        long_cols = {
+            j for j, b in enumerate(all_phashes) if n_frames(b) > seg.SEG_MAX_FRAMES
+        }
+        if long_rows:
+            masked = [
+                b if i in long_rows else b"" for i, b in enumerate(row_phashes)
+            ]
+            out.extend(
+                self.find_pairs(
+                    masked, all_phashes, min_int_similarity,
+                    col_state=state.setdefault("prune_long_rows", {}),
+                    col_limit=col_limit,
+                )
+            )
+        if long_cols:
+            masked_rows = [
+                b if (i not in long_rows and 1 <= n_frames(b)) else b""
+                for i, b in enumerate(row_phashes)
+            ]
+            masked_cols = [
+                b if j in long_cols else b"" for j, b in enumerate(all_phashes)
+            ]
+            out.extend(
+                self.find_pairs(
+                    masked_rows, masked_cols, min_int_similarity,
+                    col_state=state.setdefault("prune_long_cols", {}),
+                    col_limit=col_limit,
+                )
+            )
+        return out
+
+    def _segment_route(
+        self, seg_rows, seg_cols, min_sim, state=None, col_limit=None,
+        kernel=None, with_sims=True,
+    ):
         """Fixed-shape kernel route: greedy-packed frame blocks with
         membership one-hots as data (ops/similarity_segments.py). One
         compiled executable covers every video length <= SEG_MAX_FRAMES.
@@ -481,11 +597,12 @@ class TpuSearchEngine:
                 now = _time.time()
                 print(f"[seg-timing] {label}: {now - _t0:.1f}s", flush=True)
                 _t0 = now
-        kernel = (
-            seg.similarity_segments_pallas
-            if jax.devices()[0].platform == "tpu"
-            else seg.similarity_segments_xla
-        )
+        if kernel is None:
+            kernel = (
+                seg.similarity_segments_pallas
+                if jax.devices()[0].platform == "tpu"
+                else seg.similarity_segments_xla
+            )
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
         row_blocks_per_tile = max(seg.TILE_ROW_BLOCKS, n_dev)
 
@@ -595,13 +712,28 @@ class TpuSearchEngine:
                     axis=-1,
                     bitorder="little",
                 )
-                for a, b in np.argwhere(bits):
-                    ia = int(rmap[d * local_slots + a])
-                    ib = int(smaps[t][b])
-                    if ia >= 0 and ib >= 0 and (col_limit is None or ib < col_limit):
-                        out.append(
-                            (ia, ib, int(matchHashBytes(row_blob[ia], col_blob[ib])))
-                        )
+                if with_sims:
+                    for a, b in np.argwhere(bits):
+                        ia = int(rmap[d * local_slots + a])
+                        ib = int(smaps[t][b])
+                        if ia >= 0 and ib >= 0 and (col_limit is None or ib < col_limit):
+                            out.append(
+                                (ia, ib, int(matchHashBytes(row_blob[ia], col_blob[ib])))
+                            )
+                else:
+                    # prune mode: collect candidate (row, col) pairs only —
+                    # vectorized (candidate volume includes every
+                    # self/duplicate hit; similarity comes from the exact
+                    # verify stage, not per-hit host calls)
+                    a_idx, b_idx = np.nonzero(bits)
+                    ia = np.asarray(rmap)[d * local_slots + a_idx]
+                    ib = smaps[t][b_idx]
+                    keep = (ia >= 0) & (ib >= 0)
+                    if col_limit is not None:
+                        keep &= ib < col_limit
+                    out.extend(
+                        zip(ia[keep].tolist(), ib[keep].tolist())
+                    )
 
         n_tile_laps = 0
         for i0 in range(0, len(row_blocks), row_blocks_per_tile):
