@@ -217,6 +217,7 @@ class HydrusVideoDeduplicator:
         update_progress_callback: "UpdateDedupeProgressCallback | None" = None,
         should_skip_step_fn: "Callable[[], bool] | None" = None,
         search_backend: str = "auto",  # "auto" | "tree" | "tpu"
+        search_prefilter: str = "auto",  # "auto" | "reps" | "none"
         hash_backend: str = "native",  # "native" | "tpu"
         sampling: str = "uniform",  # "uniform" (reference parity) | "scene"
         rerank: str = "none",  # "none" | "clip" (stretch goal: embedding gate)
@@ -235,6 +236,7 @@ class HydrusVideoDeduplicator:
             self.update_progress_callback(NoneProgress())
         self.should_skip_step_fn = should_skip_step_fn
         self.search_backend = search_backend
+        self.search_prefilter = search_prefilter
         self.hash_backend = hash_backend
         self.sampling = sampling
         self.reranker = None
@@ -631,6 +633,49 @@ class HydrusVideoDeduplicator:
         except ImportError:
             return "tree"
 
+    #: auto prefilter: prune when the scene representatives are at most
+    #: this fraction of the corpus frames — sweep cost scales with the
+    #: SQUARE of the fraction, so 0.7 already means ~2x less device work,
+    #: comfortably above the filter's own overhead (linear clustering +
+    #: candidate verification)
+    PREFILTER_MAX_REP_FRACTION = 0.7
+
+    def _pick_search_prefilter(self, all_phashes: list[bytes], col_state: dict) -> bool:
+        """Decide (once per sweep) whether stage 4 uses the exact
+        scene-representative prune (engine.find_pairs_pruned), and when it
+        does, seed col_state with the column-side reps so the per-chunk
+        calls don't re-cluster the corpus.
+
+        "auto" measures the actual compression: cluster the corpus, prune
+        only if reps <= PREFILTER_MAX_REP_FRACTION of frames (few-frame or
+        scene-less corpora gain nothing and would pay an extra sweep).
+        """
+        if self.search_prefilter == "none":
+            return False
+        from .ops import reps as reps_mod
+        from .ops import similarity_segments as seg
+
+        eligible = [
+            (j, b)
+            for j, b in enumerate(all_phashes)
+            if 0 < len(b) // 32 <= seg.SEG_MAX_FRAMES
+        ]
+        rep_blobs = reps_mod.extract_reps([b for _, b in eligible])
+        rep_cols = [(j, rb) for (j, _b), rb in zip(eligible, rep_blobs)]
+        if self.search_prefilter != "reps":  # auto
+            total_frames = sum(len(b) // 32 for _, b in eligible)
+            total_reps = sum(len(rb) // 32 for rb in rep_blobs)
+            if total_reps > self.PREFILTER_MAX_REP_FRACTION * total_frames:
+                log.info(
+                    "prefilter auto: reps %d / frames %d — compression too weak, "
+                    "using the plain sweep",
+                    total_reps,
+                    total_frames,
+                )
+                return False
+        col_state.setdefault("prune", {})["rep_cols"] = rep_cols
+        return True
+
     def find_potential_duplicates(self) -> int:
         search_threshold = vptree.fix_vpdq_similarity(self.threshold)
         assert search_threshold > 0 and isinstance(search_threshold, int)
@@ -838,6 +883,10 @@ class HydrusVideoDeduplicator:
         # both directions — Hydrus dedupes, so the end state is identical),
         # batched MARK_BATCH pairs per request instead of one HTTP
         # round-trip per pair.
+        use_prune = self._pick_search_prefilter(all_phashes, col_state)
+        log.info(
+            "stage-4 prefilter: %s", "scene-representative prune" if use_prune else "none"
+        )
         rows_done = 0
         chunk_rows = max(
             self.SEARCH_CHECKPOINT_ROWS,
@@ -875,8 +924,9 @@ class HydrusVideoDeduplicator:
                             )
                         )
 
+                search_fn = engine.find_pairs_pruned if use_prune else engine.find_pairs
                 hits = (
-                    engine.find_pairs(
+                    search_fn(
                         chunk_phashes,
                         all_phashes,
                         min_sim,

@@ -76,6 +76,7 @@ def main(
     verbose: bool = False,
     debug: bool = False,
     search_backend: str = "auto",
+    search_prefilter: str = "auto",
     hash_backend: str = "native",
     sampling: str = "uniform",
     decode_backend: str | None = None,
@@ -212,6 +213,7 @@ def main(
         failed_page_name=failed_page_name,
         custom_query=query,
         search_backend=search_backend,
+        search_prefilter=search_prefilter,
         hash_backend=hash_backend,
         sampling=sampling,
         rerank=rerank,
@@ -293,6 +295,13 @@ def _build_cli():
         default="auto",
         type=click.Choice(["auto", "tree", "tpu"]),
         help="Duplicate-search engine: VP-tree, exact TPU all-pairs, or auto.",
+    )
+    @click.option(
+        "--search-prefilter",
+        default="auto",
+        type=click.Choice(["auto", "reps", "none"]),
+        help="Exact scene-representative prune for the TPU search engine: "
+        "auto measures corpus compression, reps forces it, none disables.",
     )
     @click.option(
         "--hash-backend",

@@ -84,6 +84,7 @@ class DedupeParameters:
     custom_query: list[str] = field(default_factory=list)
     failed_page_name: str | None = None
     search_backend: str = "auto"
+    search_prefilter: str = "auto"
     hash_backend: str = "native"
     sampling: str = "uniform"
     decode_backend: str = "auto"
@@ -197,6 +198,7 @@ class Worker(QObject):
                 ),
                 should_skip_step_fn=self._should_skip,
                 search_backend=params.search_backend,
+                search_prefilter=params.search_prefilter,
                 hash_backend=params.hash_backend,
                 sampling=params.sampling,
                 rerank=params.rerank,
@@ -324,6 +326,12 @@ class MainWindow(QMainWindow):
         self.failed_page_edit = QLineEdit(config.FAILED_PAGE_NAME or "")
         self.search_backend_combo = QComboBox()
         self.search_backend_combo.addItems(["auto", "tree", "tpu"])
+        self.search_prefilter_combo = QComboBox()
+        self.search_prefilter_combo.addItems(["auto", "reps", "none"])
+        self.search_prefilter_combo.setToolTip(
+            "Exact scene-representative prune for the TPU engine: auto "
+            "measures corpus compression, reps forces it, none disables."
+        )
         self.search_backend_combo.setToolTip(
             "auto: TPU exact all-pairs engine when a device is available,\n"
             "else the VP-tree. tree: force the reference VP-tree search.\n"
@@ -352,6 +360,7 @@ class MainWindow(QMainWindow):
         optform.addRow(self.skip_hashing_check)
         optform.addRow("Job count", self.job_count_spin)
         optform.addRow("Search backend", self.search_backend_combo)
+        optform.addRow("Search prefilter", self.search_prefilter_combo)
         optform.addRow("Hash backend", self.hash_backend_combo)
         optform.addRow("Frame sampling", self.sampling_combo)
         optform.addRow("Decode backend", self.decode_backend_combo)
@@ -435,6 +444,7 @@ class MainWindow(QMainWindow):
             custom_query=[q.strip() for q in self.query_edit.text().split(";") if q.strip()],
             failed_page_name=self.failed_page_edit.text().strip() or None,
             search_backend=self.search_backend_combo.currentText(),
+            search_prefilter=self.search_prefilter_combo.currentText(),
             hash_backend=self.hash_backend_combo.currentText(),
             sampling=self.sampling_combo.currentText(),
             decode_backend=self.decode_backend_combo.currentText(),

@@ -106,6 +106,17 @@ def test_backends_agree_on_pair_set(fake_server, tmp_path):
     assert tree_pairs == tpu_pairs
 
 
+def test_search_prefilter_reps_end_to_end(fake_server, tmp_path):
+    """--search-prefilter reps (exact scene-representative prune) finds the
+    identical pair set and count as the plain engine sweep."""
+    db_dir = tmp_path / uuid.uuid4().hex
+    pairs = _run_main(
+        fake_server, db_dir, search_backend="tpu", search_prefilter="reps"
+    )
+    assert pairs == EXPECTED_PAIRS
+    assert len(fake_server.relationships) == EXPECTED_PAIRS
+
+
 def test_bad_api_key(fake_server, tmp_path):
     with pytest.raises(SystemExit):
         main(

@@ -296,6 +296,34 @@ def test_pruned_col_limit_and_state_reuse(rng):
     assert got == ref
 
 
+def test_prefilter_auto_policy(rng):
+    """auto prunes scene corpora (compressible) and declines random
+    few-scene-structure corpora; forced modes override; state is seeded."""
+    from types import SimpleNamespace
+
+    from hydrus_video_deduplicator_tpu.dedup import HydrusVideoDeduplicator
+
+    pick = HydrusVideoDeduplicator._pick_search_prefilter
+    compressible = [
+        _scene_video(rng, 2, 24, drift=2).tobytes() for _ in range(6)
+    ]
+    incompressible = [
+        rng.integers(0, 256, (8, 32), dtype=np.uint8).tobytes() for _ in range(6)
+    ]
+    ns = SimpleNamespace(
+        search_prefilter="auto",
+        PREFILTER_MAX_REP_FRACTION=HydrusVideoDeduplicator.PREFILTER_MAX_REP_FRACTION,
+    )
+    state: dict = {}
+    assert pick(ns, compressible, state) is True
+    assert state["prune"]["rep_cols"]  # col reps seeded for the engine
+    assert pick(ns, incompressible, {}) is False
+    ns.search_prefilter = "none"
+    assert pick(ns, compressible, {}) is False
+    ns.search_prefilter = "reps"
+    assert pick(ns, incompressible, {}) is True
+
+
 def test_pruned_sharded_matches_local(rng):
     import jax
 
