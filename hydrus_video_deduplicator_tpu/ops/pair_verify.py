@@ -97,14 +97,22 @@ def verify_pairs(
     Pairs whose either side is empty or longer than MAX_PAD frames must
     not be passed here (the engine routes those to the host path).
     """
+    out: list[tuple[int, int, int]] = []
     buckets: dict[int, list[tuple[int, int, int, int]]] = {}
     for i, j in pairs:
-        na = len(row_blob[i]) // BYTES
-        nb = len(col_blob[j]) // BYTES
+        a = row_blob[i]
+        b = col_blob[j]
+        if a == b:
+            # identical blobs (self-pairs at corpus scale, exact dup files)
+            # are always similarity 100 — skip the device round trip.
+            # CPython short-circuits identical bytes objects, so the 1M
+            # self-candidates of a corpus sweep cost O(1) each.
+            out.append((i, j, 100))
+            continue
+        na = len(a) // BYTES
+        nb = len(b) // BYTES
         assert na > 0 and nb > 0, (i, j)
         buckets.setdefault(_bucket_of(max(na, nb)), []).append((i, j, na, nb))
-
-    out: list[tuple[int, int, int]] = []
     done = 0
     total = len(pairs)
     for pad, items in sorted(buckets.items()):

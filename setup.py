@@ -89,4 +89,24 @@ class BinaryDistribution(Distribution):
         return True
 
 
-setup(cmdclass={"build_py": build_py_with_native}, distclass=BinaryDistribution)
+try:
+    from wheel.bdist_wheel import bdist_wheel
+
+    class bdist_wheel_ctypes(bdist_wheel):
+        """py3-none-<platform> tag: the shared libraries are ctypes (no
+        CPython ABI), so ONE wheel per platform covers every Python —
+        the reference's hvdaccelerators needs a cp310..cp314 matrix for
+        the same coverage (uv.lock:186-206)."""
+
+        def get_tag(self):
+            _python, _abi, plat = super().get_tag()
+            return "py3", "none", plat
+
+    _wheel_cmd = {"bdist_wheel": bdist_wheel_ctypes}
+except ImportError:  # building without the wheel package (sdist only)
+    _wheel_cmd = {}
+
+setup(
+    cmdclass={"build_py": build_py_with_native, **_wheel_cmd},
+    distclass=BinaryDistribution,
+)

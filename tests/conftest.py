@@ -14,21 +14,61 @@ import os
 
 _platform = os.environ.get("HVD_TEST_PLATFORM", "cpu")
 if _platform == "cpu":
-    # Best effort: on a standard jax build this selects an 8-device virtual
-    # CPU platform. NOTE: this environment's axon jax plugin reads platform
-    # selection only from the env at interpreter start, so under it these
-    # lines are a no-op and the suite runs against the real device (still
-    # green, just slower); mesh-dependent tests skip unless the env is set
-    # in the shell:
-    #   JAX_PLATFORM_NAME=cpu JAX_PLATFORMS=cpu \
-    #   XLA_FLAGS=--xla_force_host_platform_device_count=8 pytest tests/
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+    # On a standard jax build, setting these selects an 8-device virtual
+    # CPU platform. This environment's axon jax plugin reads platform
+    # selection ONLY from the shell env at interpreter start, so when the
+    # vars are missing (plain `pytest tests/`) we RE-EXEC the interpreter
+    # once with them set — one invocation runs the whole suite, mesh tests
+    # included, with zero environment-gated skips (VERDICT r2 item 7).
+    # FORCE, not setdefault: the axon sandbox shell exports
+    # JAX_PLATFORMS=axon, which silently pinned every un-prefixed pytest
+    # run to the real chip in rounds 1-2
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # The sandbox's sitecustomize imports jax at EVERY interpreter start
+    # (PYTHONPATH=/root/.axon_site), so platform selection is already
+    # baked by the time conftest runs — the suite must RE-EXEC once with
+    # a cleaned env: axon site + vars stripped (its register() pollutes
+    # os.environ with session state that makes a re-exec'd libtpu abort
+    # with "Exiting due to invalid environment variable"), cpu platform +
+    # 8 virtual devices set. The exec happens in
+    # pytest_load_initial_conftests below — at conftest-import time
+    # pytest's fd capture is already active, and an exec here would send
+    # the whole re-run's output into the orphaned capture tempfiles.
+    _NEEDS_REEXEC = os.environ.get("HVD_TEST_REEXEC") != "1"
+else:
+    _NEEDS_REEXEC = False
+
+
+def pytest_configure(config):
+    if not _NEEDS_REEXEC:
+        return
+    import sys
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("AXON_", "PALLAS_AXON_", "TPU_"))
+    }
+    env["PYTHONPATH"] = os.pathsep.join(
+        p
+        for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon_site" not in p
+    )
+    env["HVD_TEST_REEXEC"] = "1"
+    # restore the real stdout/stderr fds before exec'ing over this process
+    # (pytest's global fd capture is active by now; exec'ing without the
+    # suspend sends the whole re-run's output into orphaned capture
+    # tempfiles)
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.suspend_global_capture(in_=True)
+    os.execve(sys.executable, [sys.executable, *sys.argv], env)
 
 import pytest  # noqa: E402
 
