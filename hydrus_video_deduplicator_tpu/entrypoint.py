@@ -77,7 +77,7 @@ def main(
     debug: bool = False,
     search_backend: str = "auto",
     search_prefilter: str = "auto",
-    hash_backend: str = "native",
+    hash_backend: str = "auto",
     sampling: str = "uniform",
     decode_backend: str | None = None,
     rerank: str = "none",
@@ -305,9 +305,11 @@ def _build_cli():
     )
     @click.option(
         "--hash-backend",
-        default="native",
-        type=click.Choice(["native", "tpu"]),
-        help="Perceptual-hash engine: threaded native CPU or device-batched TPU.",
+        default="auto",
+        type=click.Choice(["auto", "native", "tpu"]),
+        help="Perceptual-hash engine: threaded native CPU, device-batched TPU,"
+        " or auto (TPU when the batch is large and the measured host->device"
+        " link can feed it).",
     )
     @click.option(
         "--decode-backend",

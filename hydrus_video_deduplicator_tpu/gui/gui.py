@@ -85,7 +85,7 @@ class DedupeParameters:
     failed_page_name: str | None = None
     search_backend: str = "auto"
     search_prefilter: str = "auto"
-    hash_backend: str = "native"
+    hash_backend: str = "auto"
     sampling: str = "uniform"
     decode_backend: str = "auto"
     rerank: str = "none"
@@ -338,7 +338,7 @@ class MainWindow(QMainWindow):
             "tpu: force the device engine."
         )
         self.hash_backend_combo = QComboBox()
-        self.hash_backend_combo.addItems(["native", "tpu"])
+        self.hash_backend_combo.addItems(["auto", "native", "tpu"])
         self.hash_backend_combo.setToolTip(
             "native: threaded C++ hasher (reference behavior).\n"
             "tpu: device-batched hashing across all files."

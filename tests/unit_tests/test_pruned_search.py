@@ -324,6 +324,43 @@ def test_prefilter_auto_policy(rng):
     assert pick(ns, incompressible, {}) is True
 
 
+def test_hash_backend_auto_policy(monkeypatch):
+    """auto takes the device path only with a big batch, a real TPU, and a
+    measured link fast enough to feed 786 KB frames (VERDICT r2 item 3)."""
+    from types import SimpleNamespace
+
+    import jax
+
+    from hydrus_video_deduplicator_tpu.dedup import HydrusVideoDeduplicator as D
+
+    def ns(backend, mbps):
+        return SimpleNamespace(
+            hash_backend=backend,
+            TPU_HASH_MIN_BATCH=D.TPU_HASH_MIN_BATCH,
+            TPU_HASH_MIN_LINK_MBPS=D.TPU_HASH_MIN_LINK_MBPS,
+            _device_link_mbps=lambda: mbps,
+        )
+
+    pick = D._pick_hash_backend
+    assert pick(ns("native", 1e9), 10_000) == "native"
+    assert pick(ns("tpu", 0.0), 1) == "tpu"
+    # auto, small batch: native regardless of link
+    assert pick(ns("auto", 1e9), D.TPU_HASH_MIN_BATCH - 1) == "native"
+
+    class FakeDev:
+        platform = "tpu"
+
+    monkeypatch.setattr(jax, "devices", lambda: [FakeDev()])
+    assert pick(ns("auto", 1e9), 10_000) == "tpu"
+    assert pick(ns("auto", 10.0), 10_000) == "native"  # tunnel-class link
+
+    class CpuDev:
+        platform = "cpu"
+
+    monkeypatch.setattr(jax, "devices", lambda: [CpuDev()])
+    assert pick(ns("auto", 1e9), 10_000) == "native"
+
+
 def test_pruned_sharded_matches_local(rng):
     import jax
 
