@@ -161,7 +161,7 @@ def _hit_count(sim: jnp.ndarray, min_sim: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(sim >= min_sim, dtype=jnp.int32)
 
 
-def _scan_sweep_body(rf, ri, rc, cf, ci, cc, valid, min_sim, kernel):
+def _scan_sweep_body(rf, ri, rc, cf, ci, cc, valid, min_sim, kernel, cols_packed=False):
     """lax.scan the segment kernel over stacked column tiles, compacting
     hits ON DEVICE: per column tile, the true hit count plus a bitmask of
     hit positions (uint32 words, bit j of word w = column w*32+j). One
@@ -187,10 +187,18 @@ def _scan_sweep_body(rf, ri, rc, cf, ci, cc, valid, min_sim, kernel):
 
     def step(carry, col):
         cft, cit, cct, v = col
-        sim_shape = jax.eval_shape(kernel, rf, ri, rc, cft, cit, cct).shape
+        # cols_packed: the column side stays BIT-PACKED in HBM (u32 lanes;
+        # 8x smaller) and expands to ±1 rows per scan step — the mode that
+        # keeps 10M-video column corpora inside a single chip's HBM. The
+        # expansion runs only inside the taken branch, so skipped tiles
+        # (triangle/padding) cost nothing.
+        cft_k = (lambda: seg.unpack_blocks_pm1(cft, cit)) if cols_packed else (lambda: cft)
+        sim_shape = jax.eval_shape(
+            lambda: kernel(rf, ri, rc, cft_k(), cit, cct)
+        ).shape
 
         def on(_):
-            sim = kernel(rf, ri, rc, cft, cit, cct)
+            sim = kernel(rf, ri, rc, cft_k(), cit, cct)
             hit = sim >= min_sim
             cnt = jnp.sum(hit, dtype=jnp.int32)
             packed = (
@@ -211,19 +219,21 @@ def _scan_sweep_body(rf, ri, rc, cf, ci, cc, valid, min_sim, kernel):
 
 
 @functools.lru_cache(maxsize=16)
-def _segment_sweep_fn(kernel):
-    """Jitted single-device scan sweep, cached per kernel."""
+def _segment_sweep_fn(kernel, cols_packed=False):
+    """Jitted single-device scan sweep, cached per (kernel, col mode)."""
 
     @jax.jit
     def sweep(rf, ri, rc, cf, ci, cc, valid, min_sim):
-        cnts, masks = _scan_sweep_body(rf, ri, rc, cf, ci, cc, valid, min_sim, kernel)
+        cnts, masks = _scan_sweep_body(
+            rf, ri, rc, cf, ci, cc, valid, min_sim, kernel, cols_packed
+        )
         return cnts[None], masks[None]  # device axis of 1
 
     return sweep
 
 
 @functools.lru_cache(maxsize=16)
-def _sharded_segment_sweep_fn(mesh, kernel):
+def _sharded_segment_sweep_fn(mesh, kernel, cols_packed=False):
     """Sharded scan sweep: rows sharded over the whole mesh, stacked column
     tiles replicated; every device scans all column tiles against its row
     slab and compacts its own hit bitmask (rows are slab-local; the host
@@ -237,7 +247,9 @@ def _sharded_segment_sweep_fn(mesh, kernel):
     rows = P(axes)
 
     def body(rf, ri, rc, cf, ci, cc, valid, min_sim):
-        cnts, masks = _scan_sweep_body(rf, ri, rc, cf, ci, cc, valid, min_sim, kernel)
+        cnts, masks = _scan_sweep_body(
+            rf, ri, rc, cf, ci, cc, valid, min_sim, kernel, cols_packed
+        )
         return cnts[None], masks[None]
 
     return jax.jit(
@@ -637,18 +649,27 @@ class TpuSearchEngine:
                 ids.append(np.full_like(ids[0], -1))
                 cnts_h.append(np.zeros_like(cnts_h[0]))
                 smaps.append(np.full_like(smaps[0], -1))
-            # frames travel BIT-PACKED (8x less H2D) and expand to the
-            # kernel's ±1 rows ON DEVICE, once — the pm1 expansion lives
-            # in HBM across the whole sweep (and, via col_state, across
-            # every chunk of a checkpointed stage-4 run)
+            # frames travel BIT-PACKED (8x less H2D). Default: expand to
+            # the kernel's ±1 rows ON DEVICE, once — the pm1 expansion
+            # lives in HBM across the whole sweep (and, via col_state,
+            # across every chunk of a checkpointed stage-4 run). When the
+            # expansion would not fit HBM (10M-video column corpora are
+            # ~20 GB of ±1 rows), the columns stay packed in HBM (8x
+            # smaller) and each scan step expands its own tile.
+            pm1_bytes = len(pks) * pks[0].shape[0] * BYTES * 8
+            cols_packed_mode = pm1_bytes > self.COL_PM1_HBM_BUDGET
             ci_dev = self._put_cols(np.stack(ids))
-            cf_dev = self._unpack_cols(np.stack(pks), ci_dev)
+            if cols_packed_mode:
+                cf_dev = self._put_cols(np.stack(pks))
+            else:
+                cf_dev = self._unpack_cols(np.stack(pks), ci_dev)
             cols_stacked = (
                 cf_dev,
                 ci_dev,
                 self._put_cols(np.stack(cnts_h)),
                 smaps,
                 sum(int((m >= 0).sum()) for m in smaps),
+                cols_packed_mode,
             )
             if state is not None:
                 state["seg_scan_cols"] = cols_stacked
@@ -661,7 +682,7 @@ class TpuSearchEngine:
             for _arr in cols_stacked[:3]:
                 np.asarray(jax.device_get(_arr[-1, -1]))
             _lap("col upload synced")
-        cf, ci, cc, smaps, total_cols = cols_stacked
+        cf, ci, cc, smaps, total_cols, cols_packed_mode = cols_stacked
         n_tiles = len(smaps)
 
         # per-tile validity: a tile is scanned only if it holds at least
@@ -677,9 +698,9 @@ class TpuSearchEngine:
             total_cols = sum(int(((m >= 0) & (m < col_limit)).sum()) for m in smaps)
 
         sweep = (
-            _sharded_segment_sweep_fn(self.mesh, kernel)
+            _sharded_segment_sweep_fn(self.mesh, kernel, cols_packed_mode)
             if self.mesh is not None
-            else _segment_sweep_fn(kernel)
+            else _segment_sweep_fn(kernel, cols_packed_mode)
         )
         min_sim_dev = jnp.int32(min_sim)
         row_blob = dict(seg_rows)
@@ -820,6 +841,11 @@ class TpuSearchEngine:
     #: dispatch is async, so the device computes tile k+1..k+N while the
     #: host extracts hits from tile k (bounded to cap HBM held by results)
     MAX_TILES_IN_FLIGHT = 4
+
+    #: column-side ±1 expansion budget (bytes of HBM): above it the
+    #: segment sweep keeps columns bit-packed in HBM and expands per scan
+    #: step (10M-video corpora; see _segment_route)
+    COL_PM1_HBM_BUDGET = 9_000_000_000
 
     def _collect_hits(self, out, cnt_dev, sim_dev, meta, r_idx, c_idx, min_sim, col_limit=None):
         i0, j0, ri_n, cj_n = meta

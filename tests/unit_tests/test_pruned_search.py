@@ -324,6 +324,22 @@ def test_prefilter_auto_policy(rng):
     assert pick(ns, incompressible, {}) is True
 
 
+def test_packed_cols_mode_matches(rng, monkeypatch):
+    """Forcing the 10M-scale packed-column mode (columns stay bit-packed
+    in HBM, per-step device expansion) must not change any result."""
+    from hydrus_video_deduplicator_tpu.parallel.engine import TpuSearchEngine
+
+    blobs = _mixed_corpus(rng)
+    ref = sorted(TpuSearchEngine(force_segments=True).find_pairs(blobs, blobs, 20))
+    monkeypatch.setattr(TpuSearchEngine, "COL_PM1_HBM_BUDGET", 0)
+    packed = sorted(TpuSearchEngine(force_segments=True).find_pairs(blobs, blobs, 20))
+    pruned = sorted(
+        TpuSearchEngine(force_segments=True).find_pairs_pruned(blobs, blobs, 20)
+    )
+    assert packed == ref
+    assert pruned == ref
+
+
 def test_hash_backend_auto_policy(monkeypatch):
     """auto takes the device path only with a big batch, a real TPU, and a
     measured link fast enough to feed 786 KB frames (VERDICT r2 item 3)."""
