@@ -334,9 +334,12 @@ void hvdd_close(void* h) { dec_free(static_cast<Decoder*>(h)); }
 // CFR at fps_num/fps_den; otherwise per-frame millisecond timestamps make a
 // VFR stream (time_base 1/1000). Single-threaded for determinism.
 // Returns 0 on success, <0 with a message in errbuf.
+// gop_size > 0 / max_b >= 0 override the defaults (corpus generation
+// needs long-GOP B-frame-heavy streams to exercise reordered decode).
 int hvdd_encode(const char* path, const char* codec_name, int w, int h,
                 int fps_num, int fps_den, const uint8_t* rgb, int n_frames,
-                const int64_t* pts_ms, char* errbuf, int errlen) {
+                const int64_t* pts_ms, int gop_size, int max_b,
+                char* errbuf, int errlen) {
     av_log_set_level(AV_LOG_QUIET);
     AVFormatContext* ofmt = nullptr;
     AVCodecContext* ctx = nullptr;
@@ -368,7 +371,8 @@ int hvdd_encode(const char* path, const char* codec_name, int w, int h,
     ctx->time_base = pts_ms ? AVRational{1, 1000} : AVRational{fps_den, fps_num};
     if (!pts_ms) ctx->framerate = AVRational{fps_num, fps_den};
     ctx->pix_fmt = enc->pix_fmts ? enc->pix_fmts[0] : AV_PIX_FMT_YUV420P;
-    ctx->gop_size = 12;
+    ctx->gop_size = gop_size > 0 ? gop_size : 12;
+    if (max_b >= 0) ctx->max_b_frames = max_b;
     ctx->thread_count = 1;
     ctx->bit_rate = static_cast<int64_t>(w) * h * 4;  // plenty for tiny corpus clips
     if (strcmp(codec_name, "libx264") == 0) {

@@ -66,7 +66,8 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.hvdd_encode.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int,
     ]
     lib.hvdd_encode.restype = ctypes.c_int
 
@@ -190,8 +191,13 @@ def encode_video(
     fps_num: int = 5,
     fps_den: int = 1,
     pts_ms: list[int] | None = None,
+    gop_size: int = 0,
+    max_b_frames: int = -1,
 ) -> None:
-    """Encode [N, H, W, 3] uint8 rgb frames (corpus generation only)."""
+    """Encode [N, H, W, 3] uint8 rgb frames (corpus generation only).
+
+    gop_size > 0 / max_b_frames >= 0 override the encoder defaults —
+    long-GOP B-frame-heavy streams exercise reordered decode."""
     lib = get_lib()
     if lib is None:
         raise LibavDecodeError("native decode library unavailable")
@@ -204,6 +210,7 @@ def encode_video(
     ret = lib.hvdd_encode(
         str(path).encode(), codec.encode(), w, h, fps_num, fps_den,
         arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n, pts,
+        int(gop_size), int(max_b_frames),
         errbuf, len(errbuf),
     )
     if ret != 0:

@@ -38,12 +38,15 @@ def _run_main(server, db_dir, **kwargs):
     )
 
 
-# The corpus has two similarity groups: scene_a (7 encodings incl. h264/mp4,
-# vp9/webm and apng) and scene_b (5 encodings incl. h264/mp4 and mpeg4/avi)
-# -> C(7,2) + C(5,2) = 21 + 10 = 31 similar pairs at the default 50.0
-# threshold (strange/ videos match nothing).
-EXPECTED_PAIRS = 31
-SCENE_A_ENCODINGS = 7
+# The corpus has four similarity groups: scene_a (8 encodings incl.
+# h264/mp4, long-GOP B-frame h264, vp9/webm and apng), scene_b (5
+# encodings incl. h264/mp4 and mpeg4/avi), and the real-footage groups
+# scene_c (3: y4m master, long-GOP h264, hevc) and scene_d (2: y4m,
+# mpeg4) -> C(8,2) + C(5,2) + C(3,2) + C(2,2) = 28+10+3+1 = 42 similar
+# pairs at the default 50.0 threshold (strange/ videos — including the
+# rotated and letterboxed scene_a variants — match nothing).
+EXPECTED_PAIRS = 42
+SCENE_A_ENCODINGS = 8
 
 
 @pytest.mark.parametrize("backend", ["tree", "tpu"])

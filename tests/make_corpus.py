@@ -132,13 +132,15 @@ def write_avi_mjpg(path: Path, frames: list[np.ndarray], fps=5) -> bool:
     return True
 
 
-def write_native(path: Path, codec: str, frames: list[np.ndarray], fps=5, pts_ms=None) -> None:
+def write_native(path: Path, codec: str, frames: list[np.ndarray], fps=5, pts_ms=None,
+                 gop_size=0, max_b_frames=-1) -> None:
     """Real inter-frame codecs (h264, vp9, mpeg4) via the native libav
     encoder — the reference's testdb uses real codec media (Big Buck Bunny /
     Sintel h264); the synthetic corpus must exercise the same decode path."""
     from hydrus_video_deduplicator_tpu.native import decode as nd
 
-    nd.encode_video(path, codec, frames, fps, 1, pts_ms=pts_ms)
+    nd.encode_video(path, codec, frames, fps, 1, pts_ms=pts_ms,
+                    gop_size=gop_size, max_b_frames=max_b_frames)
 
 
 def resize(frames: list[np.ndarray], h: int, w: int) -> list[np.ndarray]:
@@ -150,8 +152,52 @@ def resize(frames: list[np.ndarray], h: int, w: int) -> list[np.ndarray]:
     return out
 
 
+#: real photographs shipped with Apache-2.0 / MIT packages in this image —
+#: real image statistics for the "real footage" groups (the reference's
+#: testdb uses Big Buck Bunny / Sintel footage, not fetchable here)
+REAL_PHOTOS = [
+    "/opt/venv/lib/python3.12/site-packages/dm_control/locomotion/arenas/"
+    "assets/outdoor_natural/OutdoorSkybox2048.png",
+    "/opt/venv/lib/python3.12/site-packages/gymnasium_robotics/envs/assets/"
+    "kitchen_franka/kitchen_assets/textures/wood1.png",
+]
+
+
+def ken_burns(photo_path: str, n_frames: int, h: int, w: int, seed: int) -> list[np.ndarray]:
+    """Real-footage clip: slow pan+zoom over a real photograph (the same
+    content model as camera footage of a static scene — consecutive frames
+    differ by small, correlated changes)."""
+    from PIL import Image
+
+    img = np.asarray(Image.open(photo_path).convert("RGB"))
+    ih, iw = img.shape[:2]
+    rng = np.random.default_rng(seed)
+    # crop window glides from one corner region to another while zooming
+    z0, z1 = 0.55, 0.40  # crop fraction of the photo
+    x0, y0 = rng.uniform(0, 0.1, 2)
+    x1, y1 = rng.uniform(0.3, 0.5, 2)
+    frames = []
+    for t in range(n_frames):
+        a = t / max(n_frames - 1, 1)
+        z = z0 + (z1 - z0) * a
+        ch, cw = int(ih * z), int(iw * z)
+        oy = int((y0 + (y1 - y0) * a) * (ih - ch))
+        ox = int((x0 + (x1 - x0) * a) * (iw - cw))
+        crop = img[oy : oy + ch, ox : ox + cw]
+        pil = Image.fromarray(crop).resize((w, h), Image.BILINEAR)
+        frames.append(np.asarray(pil))
+    return frames
+
+
 def build(overwrite: bool) -> None:
-    for d in (VIDEOS / "scene_a", VIDEOS / "scene_b", VIDEOS / "strange", HASHES):
+    for d in (
+        VIDEOS / "scene_a",
+        VIDEOS / "scene_b",
+        VIDEOS / "scene_c",
+        VIDEOS / "scene_d",
+        VIDEOS / "strange",
+        HASHES,
+    ):
         d.mkdir(parents=True, exist_ok=True)
 
     fps = 5
@@ -174,6 +220,30 @@ def build(overwrite: bool) -> None:
     write_avi_mjpg(VIDEOS / "scene_b" / "S02_mjpg.avi", b, fps)
     write_native(VIDEOS / "scene_b" / "S02_h264.mp4", "libx264", b, fps)
     write_native(VIDEOS / "scene_b" / "S02_mpeg4.avi", "mpeg4", b, fps)
+
+    # scene_a extra encoding: long-GOP, B-frame-heavy h264 (decode must
+    # handle reordered frames; round-3 corpus-breadth item)
+    write_native(
+        VIDEOS / "scene_a" / "S01_longgop.mp4", "libx264", a, fps,
+        gop_size=250, max_b_frames=3,
+    )
+
+    # Groups S03/S04: REAL-FOOTAGE clips — pan+zoom camera motion over
+    # real photographs (REAL_PHOTOS), in three codec variants including
+    # long-GOP h264 and B-frame-heavy hevc
+    c = ken_burns(REAL_PHOTOS[0], n, 120, 160, seed=3)
+    write_y4m(VIDEOS / "scene_c" / "S03_master.y4m", c, fps)
+    write_native(
+        VIDEOS / "scene_c" / "S03_longgop264.mp4", "libx264", c, fps,
+        gop_size=250, max_b_frames=3,
+    )
+    try:
+        write_native(VIDEOS / "scene_c" / "S03_hevc.mp4", "libx265", c, fps)
+    except Exception as exc:  # hevc encoder optional in the build env
+        print(f"skipping hevc variant: {exc}")
+    d4 = ken_burns(REAL_PHOTOS[1], n, 120, 160, seed=4)
+    write_y4m(VIDEOS / "scene_d" / "S04_master.y4m", d4, fps)
+    write_native(VIDEOS / "scene_d" / "S04_mpeg4.avi", "mpeg4", d4, fps)
 
     # Strange corpus: must hash (possibly to empty) without crashing.
     strange = VIDEOS / "strange"
@@ -206,6 +276,18 @@ def build(overwrite: bool) -> None:
         duration=500,
         loop=0,
     )
+    # rotated / letterboxed variants of scene_a (PDQ is not rotation- or
+    # letterbox-invariant; these document that behavior — hashed, excluded
+    # from similarity groups like the reference's strange/ set)
+    rot = [np.rot90(f).copy() for f in a]
+    write_y4m(strange / "rot90_scene_a.y4m", rot, fps)
+    letter = []
+    for f in a:
+        lb = np.zeros((f.shape[0] + 60, f.shape[1], 3), np.uint8)
+        lb[30:-30] = f
+        letter.append(lb)
+    write_y4m(strange / "letterbox_scene_a.y4m", letter, fps)
+
     # variable frame rate: no avg_frame_rate -> every frame hashed
     # (reference vpdqpy.py:73-77 None-fps branch, on a real container)
     vfr = scene_frames(308, 6, 64, 64)

@@ -29,7 +29,7 @@ HASHES = CORPUS / "hashes"
 
 def _similarity_vids() -> list[Path]:
     out = []
-    for d in ("scene_a", "scene_b"):
+    for d in ("scene_a", "scene_b", "scene_c", "scene_d"):
         out.extend(sorted((VIDEOS / d).glob("*")))
     return out
 
