@@ -307,6 +307,105 @@ def make_exists_kernel_xla(tolerance: int):
     return exists
 
 
+def _segment_exists_mask_kernel_body(match_dot, a_ref, b_ref, oa_ref, ob_ref, out_ref):
+    """Existence kernel with the hit bitmask packed in the EPILOGUE: the
+    [slots, slots] match-count intermediate never leaves the kernel
+    (VERDICT r2 item 8 — the scan-body threshold+pack pass over the int32
+    output was ~40% of stage-A sweep time). Output: uint32 words, bit j of
+    word w = column slot w*32+j (the engine drain's exact layout)."""
+    a = a_ref[:]
+    onehot_a = oa_ref[:]
+    for s in range(N_SPLIT):
+        b = b_ref[s * CHUNK_FRAMES : (s + 1) * CHUNK_FRAMES, :]
+        onehot_b = ob_ref[s * CHUNK_FRAMES : (s + 1) * CHUNK_FRAMES, :]
+        dot = jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        m8 = (dot >= match_dot).astype(jnp.int8)
+        cnt_b = jax.lax.dot_general(
+            m8, onehot_b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        hits_b = (cnt_b > 0).astype(jnp.int8)
+        ma = jax.lax.dot_general(
+            onehot_a, hits_b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )  # [ROW_SLOTS, CHUNK_SLOTS]
+        hit = (ma >= 1).astype(jnp.uint32)
+        bit = (
+            jax.lax.broadcasted_iota(jnp.uint32, (ROW_SLOTS, CHUNK_SLOTS), 1)
+            % jnp.uint32(32)
+        )
+        shifted = hit << bit
+        words = CHUNK_SLOTS // 32
+        for w in range(words):
+            out_ref[:, s * words + w] = jnp.sum(
+                shifted[:, w * 32 : (w + 1) * 32], axis=1
+            )
+
+
+@_functools.lru_cache(maxsize=8)
+def make_exists_mask_kernel_pallas(tolerance: int):
+    """Existence kernel emitting packed hit bitmasks (TPU only).
+
+    Same input signature as the other segment kernels; output
+    [RA_S, CB_S // 32] uint32 — 32x smaller than the int32 counts, with
+    the threshold+pack fused into the kernel epilogue."""
+    match_dot = BITS - 2 * tolerance
+    kernel = _functools.partial(_segment_exists_mask_kernel_body, match_dot)
+    out_words = STEP_SLOTS // 32
+
+    @jax.jit
+    def exists_mask(a_pm1, slot_a, fa, b_pm1, slot_b, fb):
+        del fa, fb
+        oa = _onehot_from_slots(slot_a, ROW_SLOTS)
+        ob = _onehot_from_slots(slot_b, CHUNK_SLOTS)
+        ra_f = a_pm1.shape[0]
+        cb_f = b_pm1.shape[0]
+        assert ra_f % ROW_FRAMES == 0 and cb_f % STEP_FRAMES == 0, (ra_f, cb_f)
+        n_row_blocks = ra_f // ROW_FRAMES
+        n_col_steps = cb_f // STEP_FRAMES
+        grid_spec = pl.GridSpec(
+            grid=(n_col_steps, n_row_blocks),
+            in_specs=[
+                pl.BlockSpec((ROW_FRAMES, BITS), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((STEP_FRAMES, BITS), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((ROW_FRAMES, ROW_SLOTS), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((STEP_FRAMES, CHUNK_SLOTS), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (ROW_SLOTS, out_words), lambda j, i: (i, j), memory_space=pltpu.VMEM
+            ),
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_row_blocks * ROW_SLOTS, n_col_steps * out_words), jnp.uint32
+            ),
+            grid_spec=grid_spec,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * ra_f * cb_f * BITS,
+                bytes_accessed=ra_f * BITS + cb_f * BITS,
+                transcendentals=0,
+            ),
+        )(a_pm1, b_pm1, oa, ob)
+
+    return exists_mask
+
+
+@_functools.lru_cache(maxsize=8)
+def make_exists_mask_kernel_xla(tolerance: int):
+    """Plain-XLA twin of make_exists_mask_kernel_pallas."""
+    exists = make_exists_kernel_xla(tolerance)
+
+    @jax.jit
+    def exists_mask(a_pm1, slot_a, fa, b_pm1, slot_b, fb):
+        ma = exists(a_pm1, slot_a, fa, b_pm1, slot_b, fb)
+        hit = (ma >= 1).astype(jnp.uint32)
+        pow2 = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+        return (hit.reshape(hit.shape[0], -1, 32) * pow2).sum(-1, dtype=jnp.uint32)
+
+    return exists_mask
+
+
 # ---------------------------------------------------------------------------
 # Host-side greedy packer
 # ---------------------------------------------------------------------------

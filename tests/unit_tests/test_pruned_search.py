@@ -182,6 +182,36 @@ def test_exists_kernel_matches_oracle(rng):
             assert got[rs, cs] == expect, (ri, ci, got[rs, cs], expect)
 
 
+def test_exists_mask_kernel_matches_exists(rng):
+    """The mask-epilogue variant's packed bits equal (exists >= 1) in the
+    engine drain's exact little-endian word layout."""
+    import jax.numpy as jnp
+
+    from hydrus_video_deduplicator_tpu.ops import similarity_segments as seg
+
+    items = [
+        (i, rng.integers(0, 256, int(c) * 32, dtype=np.uint8).tobytes())
+        for i, c in enumerate(rng.integers(1, 20, 40))
+    ]
+    rb = seg.pack_blocks(items, seg.ROW_FRAMES, seg.ROW_SLOTS)
+    rp, ri, rc, _ = seg.stack_blocks(
+        rb, seg.TILE_ROW_BLOCKS, seg.ROW_FRAMES, seg.ROW_SLOTS
+    )
+    cb = seg.pack_blocks(items, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS)
+    cpt, cit, cct, _ = seg.stack_blocks(
+        cb, seg.TILE_COL_STEPS * seg.N_SPLIT, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS
+    )
+    rf = seg.unpack_blocks_pm1(jnp.asarray(rp), jnp.asarray(ri))
+    cf = seg.unpack_blocks_pm1(jnp.asarray(cpt), jnp.asarray(cit))
+    args = (rf, jnp.asarray(ri), jnp.asarray(rc), cf, jnp.asarray(cit), jnp.asarray(cct))
+    ex = np.asarray(seg.make_exists_kernel_xla(79)(*args))
+    mk = np.asarray(seg.make_exists_mask_kernel_xla(79)(*args))
+    bits = np.unpackbits(
+        mk.view(np.uint8).reshape(ex.shape[0], -1), axis=1, bitorder="little"
+    )[:, : ex.shape[1]]
+    assert np.array_equal(bits.astype(bool), ex >= 1)
+
+
 def test_triangle_bound_boundary(rng):
     """Leaders at max radius + frames at max tolerance: the candidate's
     leader distance is exactly 31 + 2*24 = 79 and must survive; one bit
