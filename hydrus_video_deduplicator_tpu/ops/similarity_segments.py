@@ -307,12 +307,20 @@ def make_exists_kernel_xla(tolerance: int):
     return exists
 
 
+#: mask words per row block: bit b of word w covers row slot w*32+b
+MASK_WORDS = ROW_SLOTS // 32
+
+
 def _segment_exists_mask_kernel_body(match_dot, a_ref, b_ref, oa_ref, ob_ref, out_ref):
-    """Existence kernel with the hit bitmask packed in the EPILOGUE: the
-    [slots, slots] match-count intermediate never leaves the kernel
-    (VERDICT r2 item 8 — the scan-body threshold+pack pass over the int32
-    output was ~40% of stage-A sweep time). Output: uint32 words, bit j of
-    word w = column slot w*32+j (the engine drain's exact layout)."""
+    """Existence kernel with the hit bitmask packed in the EPILOGUE
+    (VERDICT r2 item 8): the [slots, slots] match-count intermediate never
+    leaves the kernel — measured, the threshold+reduce pass over the int32
+    output cost ~1 ms/tile-pair, ~60% of stage-A sweep time, while the
+    kernel itself is 0.67 ms (artifacts/bench_exists_kernel.py). Bits pack
+    across ROW slots (word w, bit b = row slot w*32+b) so the output block
+    is [MASK_WORDS, STEP_SLOTS] — lane-dim 256 keeps Mosaic's block rules
+    (a column-packed [ROW_SLOTS, 8] block fails the 128-lane divisibility
+    requirement)."""
     a = a_ref[:]
     onehot_a = oa_ref[:]
     for s in range(N_SPLIT):
@@ -329,29 +337,29 @@ def _segment_exists_mask_kernel_body(match_dot, a_ref, b_ref, oa_ref, ob_ref, ou
         ma = jax.lax.dot_general(
             onehot_a, hits_b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
         )  # [ROW_SLOTS, CHUNK_SLOTS]
-        hit = (ma >= 1).astype(jnp.uint32)
-        bit = (
-            jax.lax.broadcasted_iota(jnp.uint32, (ROW_SLOTS, CHUNK_SLOTS), 1)
-            % jnp.uint32(32)
+        # pack in int32 (Mosaic has no unsigned reductions): the words'
+        # bits are disjoint, so a wrapping int32 sum IS the bitwise OR;
+        # bitcast restores the uint32 view for the output
+        hit = (ma >= 1).astype(jnp.int32)
+        row_bit = (
+            jax.lax.broadcasted_iota(jnp.int32, (ROW_SLOTS, CHUNK_SLOTS), 0)
+            % jnp.int32(32)
         )
-        shifted = hit << bit
-        words = CHUNK_SLOTS // 32
-        for w in range(words):
-            out_ref[:, s * words + w] = jnp.sum(
-                shifted[:, w * 32 : (w + 1) * 32], axis=1
-            )
+        shifted = (hit << row_bit).reshape(MASK_WORDS, 32, CHUNK_SLOTS)
+        out_ref[:, s * CHUNK_SLOTS : (s + 1) * CHUNK_SLOTS] = (
+            jax.lax.bitcast_convert_type(jnp.sum(shifted, axis=1), jnp.uint32)
+        )
 
 
 @_functools.lru_cache(maxsize=8)
 def make_exists_mask_kernel_pallas(tolerance: int):
-    """Existence kernel emitting packed hit bitmasks (TPU only).
+    """Existence kernel emitting row-packed hit bitmasks (TPU only).
 
     Same input signature as the other segment kernels; output
-    [RA_S, CB_S // 32] uint32 — 32x smaller than the int32 counts, with
-    the threshold+pack fused into the kernel epilogue."""
+    [n_row_blocks * MASK_WORDS, CB_S] uint32 — 32x smaller than the int32
+    counts, with the threshold+pack fused into the kernel epilogue."""
     match_dot = BITS - 2 * tolerance
     kernel = _functools.partial(_segment_exists_mask_kernel_body, match_dot)
-    out_words = STEP_SLOTS // 32
 
     @jax.jit
     def exists_mask(a_pm1, slot_a, fa, b_pm1, slot_b, fb):
@@ -372,13 +380,13 @@ def make_exists_mask_kernel_pallas(tolerance: int):
                 pl.BlockSpec((STEP_FRAMES, CHUNK_SLOTS), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (ROW_SLOTS, out_words), lambda j, i: (i, j), memory_space=pltpu.VMEM
+                (MASK_WORDS, STEP_SLOTS), lambda j, i: (i, j), memory_space=pltpu.VMEM
             ),
         )
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(
-                (n_row_blocks * ROW_SLOTS, n_col_steps * out_words), jnp.uint32
+                (n_row_blocks * MASK_WORDS, n_col_steps * STEP_SLOTS), jnp.uint32
             ),
             grid_spec=grid_spec,
             cost_estimate=pl.CostEstimate(
@@ -393,17 +401,119 @@ def make_exists_mask_kernel_pallas(tolerance: int):
 
 @_functools.lru_cache(maxsize=8)
 def make_exists_mask_kernel_xla(tolerance: int):
-    """Plain-XLA twin of make_exists_mask_kernel_pallas."""
+    """Plain-XLA twin of make_exists_mask_kernel_pallas (same row-packed
+    word layout)."""
     exists = make_exists_kernel_xla(tolerance)
 
     @jax.jit
     def exists_mask(a_pm1, slot_a, fa, b_pm1, slot_b, fb):
-        ma = exists(a_pm1, slot_a, fa, b_pm1, slot_b, fb)
+        ma = exists(a_pm1, slot_a, fa, b_pm1, slot_b, fb)  # [RA_S, CB_S]
         hit = (ma >= 1).astype(jnp.uint32)
         pow2 = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
-        return (hit.reshape(hit.shape[0], -1, 32) * pow2).sum(-1, dtype=jnp.uint32)
+        # rows pack in groups of 32: [RA_S/32, 32, CB_S] -> weighted sum
+        return (hit.reshape(-1, 32, hit.shape[1]) * pow2[None, :, None]).sum(
+            1, dtype=jnp.uint32
+        )
 
     return exists_mask
+
+
+def _exists_mask_sweep_kernel_body(match_dot, valid_ref, a_ref, b_ref,
+                                   oa_ref, ob_ref, out_ref):
+    """Whole-corpus existence sweep: one grid cell per (column step, row
+    block), membership one-hots built in-kernel from slot ids, row-packed
+    mask output, invalid steps zeroed under pl.when. Moving the column
+    loop from lax.scan INTO the pallas grid lets the kernel pipeline
+    stream the column operands itself — the XLA scan's per-distinct-tile
+    dispatch overhead measured ~1 ms/tile-pair on top of the 0.67 ms
+    kernel (artifacts/bench_exists_kernel.py)."""
+    j = pl.program_id(0)
+    onehot_a = oa_ref[:]  # [ROW_FRAMES, ROW_SLOTS]
+    a = a_ref[:]
+
+    @pl.when(valid_ref[j] != 0)
+    def _run():
+        for s in range(N_SPLIT):
+            b = b_ref[s * CHUNK_FRAMES : (s + 1) * CHUNK_FRAMES, :]
+            ob = ob_ref[s * CHUNK_FRAMES : (s + 1) * CHUNK_FRAMES, :]
+            dot = jax.lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+            )
+            m8 = (dot >= match_dot).astype(jnp.int8)
+            cnt_b = jax.lax.dot_general(
+                m8, ob, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+            hits_b = (cnt_b > 0).astype(jnp.int8)
+            ma = jax.lax.dot_general(
+                onehot_a, hits_b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            hit = (ma >= 1).astype(jnp.int32)
+            row_bit = (
+                jax.lax.broadcasted_iota(jnp.int32, (ROW_SLOTS, CHUNK_SLOTS), 0)
+                % jnp.int32(32)
+            )
+            shifted = (hit << row_bit).reshape(MASK_WORDS, 32, CHUNK_SLOTS)
+            out_ref[:, s * CHUNK_SLOTS : (s + 1) * CHUNK_SLOTS] = (
+                jax.lax.bitcast_convert_type(jnp.sum(shifted, axis=1), jnp.uint32)
+            )
+
+    @pl.when(valid_ref[j] == 0)
+    def _skip():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+
+@_functools.lru_cache(maxsize=8)
+def make_exists_mask_sweep_pallas(tolerance: int):
+    """Whole-corpus existence sweep as ONE pallas_call per row tile.
+
+    a_pm1 [RA_F, 256] i8 (row tile) with slot ids slot_a [RA_F] i32;
+    b_pm1 [CB_F, 256] i8 — the ENTIRE stacked column corpus — with
+    chunk-local ids slot_b [CB_F] i32; valid [CB_F//STEP_FRAMES] i32
+    (scalar-prefetched; 0 skips the step's compute and zeroes its mask).
+    Membership one-hots are built once outside the call (XLA) and
+    streamed as int8 operands. Returns row-packed masks
+    [RA_blocks*MASK_WORDS, n_steps*STEP_SLOTS] uint32.
+    """
+    match_dot = BITS - 2 * tolerance
+    kernel = _functools.partial(_exists_mask_sweep_kernel_body, match_dot)
+
+    @jax.jit
+    def sweep(a_pm1, slot_a, b_pm1, slot_b, valid):
+        oa = _onehot_from_slots(slot_a, ROW_SLOTS)
+        ob = _onehot_from_slots(slot_b, CHUNK_SLOTS)
+        ra_f = a_pm1.shape[0]
+        cb_f = b_pm1.shape[0]
+        assert ra_f % ROW_FRAMES == 0 and cb_f % STEP_FRAMES == 0, (ra_f, cb_f)
+        n_row_blocks = ra_f // ROW_FRAMES
+        n_steps = cb_f // STEP_FRAMES
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_steps, n_row_blocks),
+            in_specs=[
+                pl.BlockSpec((ROW_FRAMES, BITS), lambda j, i, v: (i, 0)),
+                pl.BlockSpec((STEP_FRAMES, BITS), lambda j, i, v: (j, 0)),
+                pl.BlockSpec((ROW_FRAMES, ROW_SLOTS), lambda j, i, v: (i, 0)),
+                pl.BlockSpec((STEP_FRAMES, CHUNK_SLOTS), lambda j, i, v: (j, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (MASK_WORDS, STEP_SLOTS), lambda j, i, v: (i, j)
+            ),
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_row_blocks * MASK_WORDS, n_steps * STEP_SLOTS), jnp.uint32
+            ),
+            grid_spec=grid_spec,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * ra_f * cb_f * BITS,
+                bytes_accessed=ra_f * BITS + cb_f * BITS,
+                transcendentals=0,
+            ),
+        )(valid, a_pm1, b_pm1, oa, ob)
+
+    return sweep
 
 
 # ---------------------------------------------------------------------------

@@ -161,7 +161,10 @@ def _hit_count(sim: jnp.ndarray, min_sim: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(sim >= min_sim, dtype=jnp.int32)
 
 
-def _scan_sweep_body(rf, ri, rc, cf, ci, cc, valid, min_sim, kernel, cols_packed=False):
+def _scan_sweep_body(
+    rf, ri, rc, cf, ci, cc, valid, min_sim, kernel, cols_packed=False,
+    mask_kernel=False,
+):
     """lax.scan the segment kernel over stacked column tiles, compacting
     hits ON DEVICE: per column tile, the true hit count plus a bitmask of
     hit positions (uint32 words, bit j of word w = column w*32+j). One
@@ -179,7 +182,14 @@ def _scan_sweep_body(rf, ri, rc, cf, ci, cc, valid, min_sim, kernel, cols_packed
     device work.
 
     rf arrives BIT-PACKED ([F, 8] u32; 8x less H2D than ±1 rows) and is
-    expanded on device once per row tile, inside this jitted sweep."""
+    expanded on device once per row tile, inside this jitted sweep.
+
+    mask_kernel: the kernel emits the ROW-packed hit bitmask itself
+    (seg.make_exists_mask_kernel_*; bit b of word w = row slot w*32+b) —
+    the scan body then only popcounts. Measured: the threshold+pack pass
+    over the int32 output here cost ~1 ms/tile-pair, ~60% of stage-A
+    sweep time (artifacts/bench_exists_kernel.py), so the pruned route's
+    existence sweep uses mask kernels."""
     from ..ops import similarity_segments as seg
 
     rf = seg.unpack_blocks_pm1(rf, ri)
@@ -198,8 +208,11 @@ def _scan_sweep_body(rf, ri, rc, cf, ci, cc, valid, min_sim, kernel, cols_packed
         ).shape
 
         def on(_):
-            sim = kernel(rf, ri, rc, cft_k(), cit, cct)
-            hit = sim >= min_sim
+            out = kernel(rf, ri, rc, cft_k(), cit, cct)
+            if mask_kernel:
+                cnt = jnp.sum(jax.lax.population_count(out), dtype=jnp.int32)
+                return cnt, out
+            hit = out >= min_sim
             cnt = jnp.sum(hit, dtype=jnp.int32)
             packed = (
                 hit.reshape(hit.shape[0], -1, 32).astype(jnp.uint32) * pow2
@@ -207,9 +220,12 @@ def _scan_sweep_body(rf, ri, rc, cf, ci, cc, valid, min_sim, kernel, cols_packed
             return cnt, packed
 
         def off(_):
-            return jnp.int32(0), jnp.zeros(
-                (sim_shape[0], sim_shape[1] // 32), jnp.uint32
+            shape = (
+                sim_shape
+                if mask_kernel
+                else (sim_shape[0], sim_shape[1] // 32)
             )
+            return jnp.int32(0), jnp.zeros(shape, jnp.uint32)
 
         cnt, packed = jax.lax.cond(v, on, off, None)
         return carry, (cnt, packed)
@@ -219,13 +235,14 @@ def _scan_sweep_body(rf, ri, rc, cf, ci, cc, valid, min_sim, kernel, cols_packed
 
 
 @functools.lru_cache(maxsize=16)
-def _segment_sweep_fn(kernel, cols_packed=False):
+def _segment_sweep_fn(kernel, cols_packed=False, mask_kernel=False):
     """Jitted single-device scan sweep, cached per (kernel, col mode)."""
 
     @jax.jit
     def sweep(rf, ri, rc, cf, ci, cc, valid, min_sim):
         cnts, masks = _scan_sweep_body(
-            rf, ri, rc, cf, ci, cc, valid, min_sim, kernel, cols_packed
+            rf, ri, rc, cf, ci, cc, valid, min_sim, kernel, cols_packed,
+            mask_kernel,
         )
         return cnts[None], masks[None]  # device axis of 1
 
@@ -233,7 +250,7 @@ def _segment_sweep_fn(kernel, cols_packed=False):
 
 
 @functools.lru_cache(maxsize=16)
-def _sharded_segment_sweep_fn(mesh, kernel, cols_packed=False):
+def _sharded_segment_sweep_fn(mesh, kernel, cols_packed=False, mask_kernel=False):
     """Sharded scan sweep: rows sharded over the whole mesh, stacked column
     tiles replicated; every device scans all column tiles against its row
     slab and compacts its own hit bitmask (rows are slab-local; the host
@@ -248,7 +265,8 @@ def _sharded_segment_sweep_fn(mesh, kernel, cols_packed=False):
 
     def body(rf, ri, rc, cf, ci, cc, valid, min_sim):
         cnts, masks = _scan_sweep_body(
-            rf, ri, rc, cf, ci, cc, valid, min_sim, kernel, cols_packed
+            rf, ri, rc, cf, ci, cc, valid, min_sim, kernel, cols_packed,
+            mask_kernel,
         )
         return cnts[None], masks[None]
 
@@ -521,17 +539,21 @@ class TpuSearchEngine:
             seg_cols = prune_state["rep_cols"] = list(zip(seg_col_idx, col_reps))
 
         tol_prune = reps_mod.prune_tolerance(radius_cap)
+        # mask-emitting kernels: the hit bitmask packs in the kernel
+        # epilogue — the threshold+pack pass over the int32 existence
+        # output measured ~60% of stage-A sweep time (VERDICT r2 item 8,
+        # artifacts/bench_exists_kernel.py)
         kernel = (
-            seg.make_exists_kernel_pallas(tol_prune)
+            seg.make_exists_mask_kernel_pallas(tol_prune)
             if jax.devices()[0].platform == "tpu"
-            else seg.make_exists_kernel_xla(tol_prune)
+            else seg.make_exists_mask_kernel_xla(tol_prune)
         )
         self._progress_done = 0
         self._progress_total = len(seg_rows) * len(seg_cols)
         self._progress_cb = progress
         candidates = self._segment_route(
             seg_rows, seg_cols, 1, prune_state, col_limit,
-            kernel=kernel, with_sims=False,
+            kernel=kernel, with_sims=False, mask_rows=True,
         )
         out = pair_verify.verify_pairs(
             candidates, row_phashes, all_phashes, min_int_similarity
@@ -576,7 +598,7 @@ class TpuSearchEngine:
 
     def _segment_route(
         self, seg_rows, seg_cols, min_sim, state=None, col_limit=None,
-        kernel=None, with_sims=True,
+        kernel=None, with_sims=True, mask_rows=False,
     ):
         """Fixed-shape kernel route: greedy-packed frame blocks with
         membership one-hots as data (ops/similarity_segments.py). One
@@ -698,9 +720,9 @@ class TpuSearchEngine:
             total_cols = sum(int(((m >= 0) & (m < col_limit)).sum()) for m in smaps)
 
         sweep = (
-            _sharded_segment_sweep_fn(self.mesh, kernel, cols_packed_mode)
+            _sharded_segment_sweep_fn(self.mesh, kernel, cols_packed_mode, mask_rows)
             if self.mesh is not None
-            else _segment_sweep_fn(kernel, cols_packed_mode)
+            else _segment_sweep_fn(kernel, cols_packed_mode, mask_rows)
         )
         min_sim_dev = jnp.int32(min_sim)
         row_blob = dict(seg_rows)
@@ -726,13 +748,26 @@ class TpuSearchEngine:
                 fetch = lambda d, t: masks_all[d, t]
             else:
                 fetch = lambda d, t: np.asarray(masks_dev[d, t])
-            local_slots = masks_dev.shape[2]
+            local_slots = (
+                masks_dev.shape[2] * 32 if mask_rows else masks_dev.shape[2]
+            )
             for d, t in nonzero:
-                bits = np.unpackbits(
-                    np.ascontiguousarray(fetch(d, t)).view(np.uint8),
-                    axis=-1,
-                    bitorder="little",
-                )
+                m = np.ascontiguousarray(fetch(d, t))
+                if mask_rows:
+                    # row-packed words [blocks*MASK_WORDS, col_slots]:
+                    # bit b of word [w, c] = row slot w*32+b
+                    b3 = np.unpackbits(
+                        m.view(np.uint8).reshape(m.shape[0], m.shape[1], 4),
+                        axis=2,
+                        bitorder="little",
+                    )  # [W, C, 32]
+                    bits = np.moveaxis(b3, 2, 1).reshape(
+                        m.shape[0] * 32, m.shape[1]
+                    )
+                else:
+                    bits = np.unpackbits(
+                        m.view(np.uint8), axis=-1, bitorder="little"
+                    )
                 if with_sims:
                     for a, b in np.argwhere(bits):
                         ia = int(rmap[d * local_slots + a])

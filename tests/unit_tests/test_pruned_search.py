@@ -206,9 +206,13 @@ def test_exists_mask_kernel_matches_exists(rng):
     args = (rf, jnp.asarray(ri), jnp.asarray(rc), cf, jnp.asarray(cit), jnp.asarray(cct))
     ex = np.asarray(seg.make_exists_kernel_xla(79)(*args))
     mk = np.asarray(seg.make_exists_mask_kernel_xla(79)(*args))
-    bits = np.unpackbits(
-        mk.view(np.uint8).reshape(ex.shape[0], -1), axis=1, bitorder="little"
-    )[:, : ex.shape[1]]
+    # row-packed layout: bit b of word [w, c] = row slot w*32+b
+    b3 = np.unpackbits(
+        mk.view(np.uint8).reshape(mk.shape[0], mk.shape[1], 4),
+        axis=2,
+        bitorder="little",
+    )
+    bits = np.moveaxis(b3, 2, 1).reshape(mk.shape[0] * 32, mk.shape[1])
     assert np.array_equal(bits.astype(bool), ex >= 1)
 
 

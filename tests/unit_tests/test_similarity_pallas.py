@@ -139,3 +139,56 @@ def test_find_pairs_segment_route_on_tpu(rng):
     want = sorted(TpuSearchEngine(force_segments=False).find_pairs(vids, vids, 75))
     assert got == want
     assert any(a == 2 and b == 9 for a, b, _ in got)
+
+
+def test_exists_mask_sweep_matches_twin(rng):
+    """Whole-corpus mega existence sweep (one pallas_call, scalar-prefetch
+    validity) vs the per-tile XLA mask twin, incl. a knocked-out tile."""
+    import jax.numpy as jnp
+
+    from hydrus_video_deduplicator_tpu.ops import similarity_segments as seg
+
+    def items(n):
+        return [
+            (i, rng.integers(0, 256, int(c) * 32, dtype=np.uint8).tobytes())
+            for i, c in enumerate(rng.integers(1, 30, n))
+        ]
+
+    rb = seg.pack_blocks(items(300), seg.ROW_FRAMES, seg.ROW_SLOTS)
+    rp, ri, rc, _ = seg.stack_blocks(
+        rb[: seg.TILE_ROW_BLOCKS], seg.TILE_ROW_BLOCKS, seg.ROW_FRAMES, seg.ROW_SLOTS
+    )
+    cpt_n = seg.TILE_COL_STEPS * seg.N_SPLIT
+    cb = seg.pack_blocks(items(3000), seg.CHUNK_FRAMES, seg.CHUNK_SLOTS)
+    tiles = []
+    for j0 in range(0, len(cb), cpt_n):
+        g = cb[j0 : j0 + cpt_n]
+        tiles.append(seg.stack_blocks(g, cpt_n, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS))
+    rf = seg.unpack_blocks_pm1(jnp.asarray(rp), jnp.asarray(ri))
+    cf_p = np.concatenate([t[0] for t in tiles])
+    ci_all = np.concatenate([t[1] for t in tiles])
+    cfe = seg.unpack_blocks_pm1(jnp.asarray(cf_p), jnp.asarray(ci_all))
+    n_steps = cf_p.shape[0] // seg.STEP_FRAMES
+    valid = np.ones(n_steps, np.int32)
+    if n_steps > 8:
+        valid[8:16] = 0  # knock out the second tile
+    mega = np.asarray(
+        seg.make_exists_mask_sweep_pallas(79)(
+            rf, jnp.asarray(ri), cfe, jnp.asarray(ci_all), jnp.asarray(valid)
+        )
+    )
+    twin = seg.make_exists_mask_kernel_xla(79)
+    w = seg.TILE_COL_STEPS * seg.STEP_SLOTS
+    fr = seg.TILE_COL_STEPS * seg.STEP_FRAMES
+    for t, tile in enumerate(tiles):
+        m_ref = np.asarray(
+            twin(
+                rf, jnp.asarray(ri), jnp.asarray(rc),
+                cfe[t * fr : (t + 1) * fr],
+                jnp.asarray(ci_all[t * fr : (t + 1) * fr]),
+                jnp.asarray(tile[2]),
+            )
+        )
+        got = mega[:, t * w : (t + 1) * w]
+        want = np.zeros_like(m_ref) if (t == 1 and n_steps > 8) else m_ref
+        assert np.array_equal(got, want), t
