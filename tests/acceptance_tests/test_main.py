@@ -16,7 +16,12 @@ import pytest
 
 from hydrus_video_deduplicator_tpu.entrypoint import main
 
-from ..fake_hydrus import DEFAULT_ACCESS_KEY, FakeHydrus, corpus_file_store
+from ..fake_hydrus import (
+    CORPUS_EXPECTED_PAIRS,
+    DEFAULT_ACCESS_KEY,
+    FakeHydrus,
+    corpus_file_store,
+)
 
 
 @pytest.fixture()
@@ -45,7 +50,8 @@ def _run_main(server, db_dir, **kwargs):
 # mpeg4) -> C(8,2) + C(5,2) + C(3,2) + C(2,2) = 28+10+3+1 = 42 similar
 # pairs at the default 50.0 threshold (strange/ videos — including the
 # rotated and letterboxed scene_a variants — match nothing).
-EXPECTED_PAIRS = 42
+# The shared constant lives in tests/fake_hydrus.py.
+EXPECTED_PAIRS = CORPUS_EXPECTED_PAIRS
 SCENE_A_ENCODINGS = 8
 
 

@@ -496,6 +496,13 @@ def sha256_hex(data: bytes) -> str:
     return hashlib.sha256(data).hexdigest()
 
 
+# Similar pairs in the committed corpus at the default 50.0 threshold:
+# scene_a (8 encodings) + scene_b (5) + scene_c (3) + scene_d (2)
+# -> C(8,2)+C(5,2)+C(3,2)+C(2,2) = 42; strange/ videos match nothing.
+# Single source of truth — tests must import this, not hardcode it.
+CORPUS_EXPECTED_PAIRS = 42
+
+
 def corpus_file_store() -> dict[str, bytes]:
     """The committed test corpus as a {sha256: bytes} Hydrus file store."""
     from pathlib import Path

@@ -133,7 +133,12 @@ def test_worker_full_flow_against_fake_hydrus(gui_module, tmp_path):
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).parents[1].parent / "tests"))
-    from tests.fake_hydrus import DEFAULT_ACCESS_KEY, FakeHydrus, corpus_file_store
+    from tests.fake_hydrus import (
+        CORPUS_EXPECTED_PAIRS,
+        DEFAULT_ACCESS_KEY,
+        FakeHydrus,
+        corpus_file_store,
+    )
 
     server = FakeHydrus(corpus_file_store())
     server.start()
@@ -166,7 +171,7 @@ def test_worker_full_flow_against_fake_hydrus(gui_module, tmp_path):
 
         worker.run_dedupe(gui_module.DedupeParameters(threshold=50.0))
         ok, msg, pairs = events["dedupe"][-1]
-        assert ok and pairs == 31  # C(7,2)+C(5,2) over the corpus groups
+        assert ok and pairs == CORPUS_EXPECTED_PAIRS  # all corpus groups
         assert any("Hashing files" in p for p in events["progress"])
         assert any("Done" in p for p in events["progress"])
 

@@ -80,7 +80,12 @@ def test_rerank_end_to_end_gate(weights_file, tmp_path):
     import sys
 
     sys.path.insert(0, str(Path(__file__).parents[1].parent / "tests"))
-    from tests.fake_hydrus import DEFAULT_ACCESS_KEY, FakeHydrus, corpus_file_store
+    from tests.fake_hydrus import (
+        CORPUS_EXPECTED_PAIRS,
+        DEFAULT_ACCESS_KEY,
+        FakeHydrus,
+        corpus_file_store,
+    )
 
     from hydrus_video_deduplicator_tpu.entrypoint import main
 
@@ -95,9 +100,9 @@ def test_rerank_end_to_end_gate(weights_file, tmp_path):
             rerank_weights=str(weights_file),
             rerank_threshold=0.6,
         )
-        assert pairs == 31  # same-scene encodings embed close together
+        assert pairs == CORPUS_EXPECTED_PAIRS  # same-scene encodings embed close
         n_marked = len(server.relationships)
-        assert n_marked == 31
+        assert n_marked == CORPUS_EXPECTED_PAIRS
 
         pairs2 = main(
             api_key=DEFAULT_ACCESS_KEY,

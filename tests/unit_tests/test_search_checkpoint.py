@@ -20,9 +20,12 @@ from hydrus_video_deduplicator_tpu.client import HVDClient
 from hydrus_video_deduplicator_tpu.db import DedupeDB
 from hydrus_video_deduplicator_tpu.dedup import HydrusVideoDeduplicator
 
-from ..fake_hydrus import DEFAULT_ACCESS_KEY, FakeHydrus, corpus_file_store
-
-EXPECTED_PAIRS = 31  # see tests/acceptance_tests/test_main.py
+from ..fake_hydrus import (
+    CORPUS_EXPECTED_PAIRS as EXPECTED_PAIRS,
+    DEFAULT_ACCESS_KEY,
+    FakeHydrus,
+    corpus_file_store,
+)
 
 
 @pytest.fixture()
