@@ -249,6 +249,73 @@ def _segment_sweep_fn(kernel, cols_packed=False, mask_kernel=False):
     return sweep
 
 
+def _mega_sweep_body(rf_packed, ri, cf, ci, valid, tolerance):
+    """Whole-corpus existence sweep as ONE pallas_call per row tile
+    (ops.similarity_segments.make_exists_mask_sweep_pallas): the column
+    loop moves from lax.scan into the pallas grid, so the kernel pipeline
+    streams column operands itself. Measured 0.363 vs 0.419 ms/tile-pair
+    for the scan route at T=128 (artifacts/bench_dot_floor6.py). Output is
+    reshaped to the scan route's (cnts [T], masks [T, W, C]) contract so
+    the drain path is shared."""
+    from ..ops import similarity_segments as seg
+
+    rf = seg.unpack_blocks_pm1(rf_packed, ri)
+    n_tiles, tile_frames = cf.shape[0], cf.shape[1]
+    steps_per_tile = tile_frames // seg.STEP_FRAMES
+    cf_flat = cf.reshape(n_tiles * tile_frames, cf.shape[2])
+    ci_flat = ci.reshape(-1)
+    valid_steps = jnp.repeat(valid.astype(jnp.int32), steps_per_tile)
+    mega = seg.make_exists_mask_sweep_pallas(tolerance)
+    flat = mega(rf, ri, cf_flat, ci_flat, valid_steps)  # [W, T*tile_slots]
+    tile_slots = steps_per_tile * seg.STEP_SLOTS
+    masks = flat.reshape(flat.shape[0], n_tiles, tile_slots).transpose(1, 0, 2)
+    cnts = jnp.sum(
+        jax.lax.population_count(masks), axis=(1, 2), dtype=jnp.int32
+    )
+    return cnts, masks
+
+
+@functools.lru_cache(maxsize=16)
+def _mega_sweep_fn(tolerance: int):
+    """Jitted single-device mega existence sweep (same interface as
+    _segment_sweep_fn with a mask kernel; min_sim/counts unused — the
+    existence kernel thresholds in its epilogue)."""
+
+    @jax.jit
+    def sweep(rf, ri, rc, cf, ci, cc, valid, min_sim):
+        cnts, masks = _mega_sweep_body(rf, ri, cf, ci, valid, tolerance)
+        return cnts[None], masks[None]
+
+    return sweep
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_mega_sweep_fn(mesh, tolerance: int):
+    """Sharded mega sweep: rows sharded over the whole mesh, stacked
+    column tiles replicated (same layout contract as
+    _sharded_segment_sweep_fn)."""
+    from jax.sharding import PartitionSpec as P
+
+    from .mesh import shard_map
+
+    axes = tuple(mesh.axis_names)
+    rows = P(axes)
+
+    def body(rf, ri, rc, cf, ci, cc, valid, min_sim):
+        cnts, masks = _mega_sweep_body(rf, ri, cf, ci, valid, tolerance)
+        return cnts[None], masks[None]
+
+    return jax.jit(
+        shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(rows, rows, rows, P(), P(), P(), P(), P()),
+            out_specs=(rows, rows),
+            check_rep=False,
+        )
+    )
+
+
 @functools.lru_cache(maxsize=16)
 def _sharded_segment_sweep_fn(mesh, kernel, cols_packed=False, mask_kernel=False):
     """Sharded scan sweep: rows sharded over the whole mesh, stacked column
@@ -554,6 +621,7 @@ class TpuSearchEngine:
         candidates = self._segment_route(
             seg_rows, seg_cols, 1, prune_state, col_limit,
             kernel=kernel, with_sims=False, mask_rows=True,
+            mask_tolerance=tol_prune,
         )
         out = pair_verify.verify_pairs(
             candidates, row_phashes, all_phashes, min_int_similarity
@@ -598,7 +666,7 @@ class TpuSearchEngine:
 
     def _segment_route(
         self, seg_rows, seg_cols, min_sim, state=None, col_limit=None,
-        kernel=None, with_sims=True, mask_rows=False,
+        kernel=None, with_sims=True, mask_rows=False, mask_tolerance=None,
     ):
         """Fixed-shape kernel route: greedy-packed frame blocks with
         membership one-hots as data (ops/similarity_segments.py). One
@@ -719,40 +787,77 @@ class TpuSearchEngine:
             )
             total_cols = sum(int(((m >= 0) & (m < col_limit)).sum()) for m in smaps)
 
-        sweep = (
-            _sharded_segment_sweep_fn(self.mesh, kernel, cols_packed_mode, mask_rows)
-            if self.mesh is not None
-            else _segment_sweep_fn(kernel, cols_packed_mode, mask_rows)
+        # mask (existence) sweeps on TPU with ±1-expanded columns take the
+        # mega route: ONE pallas_call per row tile instead of a lax.scan of
+        # per-tile kernel calls (13% faster in-kernel; measured
+        # 0.363 vs 0.419 ms/tile-pair, artifacts/bench_dot_floor6.py).
+        # Packed-column (10M-scale) sweeps keep the scan route — the mega
+        # kernel streams ±1 operands. HVD_SEG_SWEEP=scan opts out for A/B.
+        use_mega = (
+            mask_rows
+            and mask_tolerance is not None
+            and not cols_packed_mode
+            and jax.devices()[0].platform == "tpu"
+            and os.environ.get("HVD_SEG_SWEEP", "mega") != "scan"
         )
+        if use_mega:
+            sweep = (
+                _sharded_mega_sweep_fn(self.mesh, mask_tolerance)
+                if self.mesh is not None
+                else _mega_sweep_fn(mask_tolerance)
+            )
+        else:
+            sweep = (
+                _sharded_segment_sweep_fn(self.mesh, kernel, cols_packed_mode, mask_rows)
+                if self.mesh is not None
+                else _segment_sweep_fn(kernel, cols_packed_mode, mask_rows)
+            )
         min_sim_dev = jnp.int32(min_sim)
         row_blob = dict(seg_rows)
         col_blob = dict(seg_cols)
 
         out: list[tuple[int, int, int]] = []
         inflight: deque = deque()
+        # drain-phase attribution (printed when HVD_DEBUG_TIMING is set):
+        # cnts = blocking count fetches, mask = bitmask gather+fetch,
+        # host = bit unpack + hit decode
+        _drain_acc = {"cnts": 0.0, "mask": 0.0, "host": 0.0, "tiles": 0}
 
         def drain(rmap, rn, result):
+            _td = _time.time()
             cnts_dev, masks_dev = result
             cnts = np.asarray(cnts_dev)  # [D, T] — forces the dispatch
+            _drain_acc["cnts"] += _time.time() - _td
+            _drain_acc["tiles"] += 1
             if self._progress_cb is not None:
                 self._progress_done += rn * total_cols
                 self._progress_cb(self._progress_done, self._progress_total)
             if int(cnts.sum()) == 0:
                 return
+            _td = _time.time()
             nonzero = np.argwhere(cnts > 0)
             # hits are usually confined to a few tiles (self-matches plus
-            # sparse duplicates): fetch only those tiles' bitmasks; bulk
-            # fetch when hits are dense enough that per-tile transfers lose
+            # sparse duplicates): gather those tiles' bitmasks ON DEVICE
+            # and fetch them in ONE transfer — per-tile fetches cost a
+            # full dispatch+fetch round trip each (~27 ms through a remote
+            # tunnel, and a non-trivial RPC even on a local VM). Bulk
+            # fetch when hits are dense enough that the gather loses.
             if len(nonzero) > cnts.size // 4:
                 masks_all = np.asarray(masks_dev)
-                fetch = lambda d, t: masks_all[d, t]
+                sel = masks_all[nonzero[:, 0], nonzero[:, 1]]
             else:
-                fetch = lambda d, t: np.asarray(masks_dev[d, t])
+                sel = np.asarray(
+                    masks_dev[
+                        jnp.asarray(nonzero[:, 0]), jnp.asarray(nonzero[:, 1])
+                    ]
+                )
+            _drain_acc["mask"] += _time.time() - _td
+            _td = _time.time()
             local_slots = (
                 masks_dev.shape[2] * 32 if mask_rows else masks_dev.shape[2]
             )
-            for d, t in nonzero:
-                m = np.ascontiguousarray(fetch(d, t))
+            for k, (d, t) in enumerate(nonzero):
+                m = np.ascontiguousarray(sel[k])
                 if mask_rows:
                     # row-packed words [blocks*MASK_WORDS, col_slots]:
                     # bit b of word [w, c] = row slot w*32+b
@@ -790,6 +895,7 @@ class TpuSearchEngine:
                     out.extend(
                         zip(ia[keep].tolist(), ib[keep].tolist())
                     )
+            _drain_acc["host"] += _time.time() - _td
 
         n_tile_laps = 0
         for i0 in range(0, len(row_blocks), row_blocks_per_tile):
@@ -813,6 +919,13 @@ class TpuSearchEngine:
         while inflight:
             drain(*inflight.popleft())
         _lap("row tiles + drain")
+        if _debug:
+            print(
+                "[seg-timing] drain split: "
+                f"cnts {_drain_acc['cnts']:.1f}s mask {_drain_acc['mask']:.1f}s "
+                f"host {_drain_acc['host']:.1f}s over {_drain_acc['tiles']} row tiles",
+                flush=True,
+            )
         return out
 
     def _long_video_pairs(self, rows, row_phashes, cols, all_phashes, min_sim, col_limit=None):

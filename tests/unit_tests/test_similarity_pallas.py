@@ -192,3 +192,29 @@ def test_exists_mask_sweep_matches_twin(rng):
         got = mega[:, t * w : (t + 1) * w]
         want = np.zeros_like(m_ref) if (t == 1 and n_steps > 8) else m_ref
         assert np.array_equal(got, want), t
+
+
+def test_pruned_mega_route_equals_scan_route(rng, monkeypatch):
+    """find_pairs_pruned through the mega existence sweep (one pallas_call
+    per row tile) equals the lax.scan mask-kernel route pair-for-pair on a
+    ragged corpus with planted duplicates."""
+    from hydrus_video_deduplicator_tpu.parallel.engine import TpuSearchEngine
+
+    vids = []
+    for i in range(400):
+        nf = int(rng.choice([1, 3, 8, 30, 71, 120, 400]))
+        vids.append(rng.integers(0, 256, (nf, 32), dtype=np.uint8).tobytes())
+    vids[9] = vids[2]
+    vids[10] = b""
+    # near-dup: flip a couple of bits in one frame
+    nd = bytearray(vids[5])
+    nd[0] ^= 0x03
+    vids[17] = bytes(nd)
+
+    monkeypatch.setenv("HVD_SEG_SWEEP", "mega")
+    got = sorted(TpuSearchEngine().find_pairs_pruned(vids, vids, 75))
+    monkeypatch.setenv("HVD_SEG_SWEEP", "scan")
+    want = sorted(TpuSearchEngine().find_pairs_pruned(vids, vids, 75))
+    assert got == want
+    assert any(a == 2 and b == 9 for a, b, _ in got)
+    assert any({a, b} == {5, 17} for a, b, _ in got)
