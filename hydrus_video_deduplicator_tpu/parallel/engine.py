@@ -275,6 +275,41 @@ def _mega_sweep_body(rf_packed, ri, cf, ci, valid, tolerance):
     return cnts, masks
 
 
+@functools.lru_cache(maxsize=32)
+def _gather_nonzero_words_fn(k_pad: int, budget: int):
+    """Sparse hit extraction for the drain: gather K (padded) nonzero
+    tiles' bitmasks on device and compact their nonzero uint32 WORDS to
+    (flat index, value) pairs with a static-size jnp.nonzero. Hits are
+    ~1 per row video (self-matches) in production sweeps, so fetching
+    dense [W, C] masks moves ~400x more bytes than the set bits need —
+    measured 59.5 s of an 81 s drain phase through a degraded tunnel
+    (131k chunk, artifacts). The nonzero here runs over only the gathered
+    K tiles (~1e5 words), not the full mask stack — the sort-based
+    lowering that made a full-stack compaction 20x slower does not bite
+    at this size. fill -1 marks padding; padded gather rows point at a
+    zero-count tile so they contribute no words."""
+
+    @jax.jit
+    def f(masks, d_idx, t_idx):
+        sel = masks[d_idx, t_idx]  # [K_pad, A, B] uint32
+        flat = sel.reshape(-1)
+        (idx,) = jnp.nonzero(flat, size=budget, fill_value=-1)
+        vals = jnp.where(idx >= 0, flat[jnp.maximum(idx, 0)], jnp.uint32(0))
+        # one [budget, 2] int32 array = ONE device->host transfer (idx,
+        # bitcast word value)
+        return jnp.stack(
+            [idx.astype(jnp.int32), jax.lax.bitcast_convert_type(vals, jnp.int32)],
+            axis=1,
+        )
+
+    return f
+
+
+#: nonzero-word budgets for the sparse drain; above the last rung the
+#: drain falls back to fetching the gathered tiles' dense masks
+_SPARSE_DRAIN_BUDGETS = (4096, 32768)
+
+
 @functools.lru_cache(maxsize=16)
 def _mega_sweep_fn(tolerance: int):
     """Jitted single-device mega existence sweep (same interface as
@@ -774,6 +809,8 @@ class TpuSearchEngine:
             _lap("col upload synced")
         cf, ci, cc, smaps, total_cols, cols_packed_mode = cols_stacked
         n_tiles = len(smaps)
+        # [T, slots] corpus-index lookup for the vectorized drain emit
+        smaps_arr = np.stack(smaps)
 
         # per-tile validity: a tile is scanned only if it holds at least
         # one video (below col_limit, when given) — skips both the
@@ -836,65 +873,115 @@ class TpuSearchEngine:
                 return
             _td = _time.time()
             nonzero = np.argwhere(cnts > 0)
-            # hits are usually confined to a few tiles (self-matches plus
-            # sparse duplicates): gather those tiles' bitmasks ON DEVICE
-            # and fetch them in ONE transfer — per-tile fetches cost a
-            # full dispatch+fetch round trip each (~27 ms through a remote
-            # tunnel, and a non-trivial RPC even on a local VM). Bulk
-            # fetch when hits are dense enough that the gather loses.
-            if len(nonzero) > cnts.size // 4:
-                masks_all = np.asarray(masks_dev)
-                sel = masks_all[nonzero[:, 0], nonzero[:, 1]]
-            else:
-                sel = np.asarray(
-                    masks_dev[
-                        jnp.asarray(nonzero[:, 0]), jnp.asarray(nonzero[:, 1])
-                    ]
-                )
-            _drain_acc["mask"] += _time.time() - _td
-            _td = _time.time()
-            local_slots = (
-                masks_dev.shape[2] * 32 if mask_rows else masks_dev.shape[2]
+            A, B = masks_dev.shape[2], masks_dev.shape[3]
+            local_slots = A * 32 if mask_rows else A
+            # hits are ~1 per row video in production sweeps (self-matches
+            # plus sparse duplicates): gather the nonzero tiles' bitmasks
+            # ON DEVICE and compact their nonzero uint32 words to (flat
+            # index, value) pairs, fetched as ONE small transfer. Fetching
+            # the dense [A, B] masks instead moved ~400x more bytes than
+            # the set bits needed — measured 59.5 s of an 81 s drain phase
+            # (131k chunk, tunnel-degraded session). Dense fallback when
+            # hits exceed the word budget, too many tiles are nonzero (the
+            # device-side nonzero scans k_pad*A*B words), or no zero-count
+            # tile exists to pad the gather with.
+            total_hits = int(cnts[nonzero[:, 0], nonzero[:, 1]].sum())
+            budget = next(
+                (b for b in _SPARSE_DRAIN_BUDGETS if total_hits <= b), None
             )
-            for k, (d, t) in enumerate(nonzero):
-                m = np.ascontiguousarray(sel[k])
+            k_pad = 1
+            while k_pad < len(nonzero):
+                k_pad <<= 1
+            zeros = np.argwhere(cnts == 0)
+            sparse_ok = (
+                budget is not None
+                and k_pad <= 32
+                and (k_pad == len(nonzero) or len(zeros))
+            )
+            if sparse_ok:
+                pad = zeros[0] if len(zeros) else nonzero[0]
+                gidx = np.concatenate(
+                    [nonzero, np.broadcast_to(pad, (k_pad - len(nonzero), 2))]
+                )
+                iv = np.asarray(
+                    _gather_nonzero_words_fn(k_pad, budget)(
+                        masks_dev,
+                        jnp.asarray(np.ascontiguousarray(gidx[:, 0])),
+                        jnp.asarray(np.ascontiguousarray(gidx[:, 1])),
+                    )
+                )  # [budget, 2] int32
+                _drain_acc["mask"] += _time.time() - _td
+                _td = _time.time()
+                keep_w = iv[:, 0] >= 0
+                idx = iv[keep_w, 0]
+                vals = np.ascontiguousarray(iv[keep_w, 1]).view(np.uint32)
+                k_arr, rem = np.divmod(idx, A * B)
+                a_arr, b_arr = np.divmod(rem, B)
+                bitmat = np.unpackbits(
+                    vals.view(np.uint8).reshape(-1, 4), axis=1, bitorder="little"
+                )  # [M, 32]
+                m_i, bit_i = np.nonzero(bitmat)
                 if mask_rows:
-                    # row-packed words [blocks*MASK_WORDS, col_slots]:
-                    # bit b of word [w, c] = row slot w*32+b
-                    b3 = np.unpackbits(
-                        m.view(np.uint8).reshape(m.shape[0], m.shape[1], 4),
-                        axis=2,
-                        bitorder="little",
-                    )  # [W, C, 32]
-                    bits = np.moveaxis(b3, 2, 1).reshape(
-                        m.shape[0] * 32, m.shape[1]
-                    )
+                    rows_l = a_arr[m_i] * 32 + bit_i
+                    cols_l = b_arr[m_i]
                 else:
-                    bits = np.unpackbits(
-                        m.view(np.uint8), axis=-1, bitorder="little"
-                    )
-                if with_sims:
-                    for a, b in np.argwhere(bits):
-                        ia = int(rmap[d * local_slots + a])
-                        ib = int(smaps[t][b])
-                        if ia >= 0 and ib >= 0 and (col_limit is None or ib < col_limit):
-                            out.append(
-                                (ia, ib, int(matchHashBytes(row_blob[ia], col_blob[ib])))
-                            )
+                    rows_l = a_arr[m_i]
+                    cols_l = b_arr[m_i] * 32 + bit_i
+                d_arr = nonzero[k_arr[m_i], 0]
+                t_arr = nonzero[k_arr[m_i], 1]
+            else:
+                if len(nonzero) > cnts.size // 4:
+                    masks_all = np.asarray(masks_dev)
+                    sel = masks_all[nonzero[:, 0], nonzero[:, 1]]
                 else:
-                    # prune mode: collect candidate (row, col) pairs only —
-                    # vectorized (candidate volume includes every
-                    # self/duplicate hit; similarity comes from the exact
-                    # verify stage, not per-hit host calls)
-                    a_idx, b_idx = np.nonzero(bits)
-                    ia = np.asarray(rmap)[d * local_slots + a_idx]
-                    ib = smaps[t][b_idx]
-                    keep = (ia >= 0) & (ib >= 0)
-                    if col_limit is not None:
-                        keep &= ib < col_limit
-                    out.extend(
-                        zip(ia[keep].tolist(), ib[keep].tolist())
+                    sel = np.asarray(
+                        masks_dev[
+                            jnp.asarray(nonzero[:, 0]), jnp.asarray(nonzero[:, 1])
+                        ]
                     )
+                _drain_acc["mask"] += _time.time() - _td
+                _td = _time.time()
+                parts = []
+                for k, (d, t) in enumerate(nonzero):
+                    m = np.ascontiguousarray(sel[k])
+                    if mask_rows:
+                        # row-packed words [blocks*MASK_WORDS, col_slots]:
+                        # bit b of word [w, c] = row slot w*32+b
+                        b3 = np.unpackbits(
+                            m.view(np.uint8).reshape(A, B, 4),
+                            axis=2,
+                            bitorder="little",
+                        )  # [A, B, 32]
+                        bits = np.moveaxis(b3, 2, 1).reshape(A * 32, B)
+                    else:
+                        bits = np.unpackbits(
+                            m.view(np.uint8), axis=-1, bitorder="little"
+                        )
+                    r_i, c_i = np.nonzero(bits)
+                    parts.append(
+                        (np.full(len(r_i), d), np.full(len(r_i), t), r_i, c_i)
+                    )
+                d_arr = np.concatenate([p[0] for p in parts])
+                t_arr = np.concatenate([p[1] for p in parts])
+                rows_l = np.concatenate([p[2] for p in parts])
+                cols_l = np.concatenate([p[3] for p in parts])
+
+            ia_arr = np.asarray(rmap)[d_arr * local_slots + rows_l]
+            ib_arr = smaps_arr[t_arr, cols_l]
+            keep = (ia_arr >= 0) & (ib_arr >= 0)
+            if col_limit is not None:
+                keep &= ib_arr < col_limit
+            if with_sims:
+                for ia, ib in zip(
+                    ia_arr[keep].tolist(), ib_arr[keep].tolist()
+                ):
+                    out.append(
+                        (ia, ib, int(matchHashBytes(row_blob[ia], col_blob[ib])))
+                    )
+            else:
+                # prune mode: candidate (row, col) pairs only — similarity
+                # comes from the exact verify stage, not per-hit host calls
+                out.extend(zip(ia_arr[keep].tolist(), ib_arr[keep].tolist()))
             _drain_acc["host"] += _time.time() - _td
 
         n_tile_laps = 0

@@ -131,3 +131,34 @@ def test_scan_sweep_dense_hits(rng):
     got = sorted(TpuSearchEngine(force_segments=True).find_pairs(vids, vids, 75))
     assert len(got) >= 625
     assert got == want
+
+
+def test_drain_sparse_and_dense_paths_agree(rng, monkeypatch):
+    """The drain's sparse (device word compaction) and dense (bitmask
+    fetch) hit-extraction paths produce identical pair sets — dense is
+    forced by emptying the sparse word budgets."""
+    from hydrus_video_deduplicator_tpu.parallel import engine as eng
+
+    vids = [
+        rng.integers(0, 256, (int(c), 32), dtype=np.uint8).tobytes()
+        for c in rng.integers(1, 9, 60)
+    ]
+    vids[7] = vids[3]
+    base = rng.integers(0, 256, (2, 32), dtype=np.uint8).tobytes()
+    vids[20:30] = [base] * 10  # a dense clump of mutual hits
+
+    sparse = sorted(
+        eng.TpuSearchEngine(force_segments=True).find_pairs(vids, vids, 75)
+    )
+    sparse_pruned = sorted(
+        eng.TpuSearchEngine().find_pairs_pruned(vids, vids, 75)
+    )
+    monkeypatch.setattr(eng, "_SPARSE_DRAIN_BUDGETS", ())
+    dense = sorted(
+        eng.TpuSearchEngine(force_segments=True).find_pairs(vids, vids, 75)
+    )
+    dense_pruned = sorted(
+        eng.TpuSearchEngine().find_pairs_pruned(vids, vids, 75)
+    )
+    assert sparse == dense
+    assert sparse_pruned == dense_pruned == sparse
