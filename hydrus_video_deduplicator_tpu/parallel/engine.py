@@ -276,30 +276,38 @@ def _mega_sweep_body(rf_packed, ri, cf, ci, valid, tolerance):
 
 
 @functools.lru_cache(maxsize=32)
-def _gather_nonzero_words_fn(k_pad: int, budget: int):
-    """Sparse hit extraction for the drain: gather K (padded) nonzero
-    tiles' bitmasks on device and compact their nonzero uint32 WORDS to
-    (flat index, value) pairs with a static-size jnp.nonzero. Hits are
-    ~1 per row video (self-matches) in production sweeps, so fetching
-    dense [W, C] masks moves ~400x more bytes than the set bits need —
-    measured 59.5 s of an 81 s drain phase through a degraded tunnel
-    (131k chunk, artifacts). The nonzero here runs over only the gathered
-    K tiles (~1e5 words), not the full mask stack — the sort-based
-    lowering that made a full-stack compaction 20x slower does not bite
-    at this size. fill -1 marks padding; padded gather rows point at a
-    zero-count tile so they contribute no words."""
+def _fused_group_extract_fn(k_top: int, budget: int):
+    """Fused drain extraction for a GROUP of row-tile sweep results in ONE
+    dispatch + ONE fetch: stack the group's per-tile hit counts and
+    bitmasks, gather the k_top highest-count tiles, and compact their
+    nonzero uint32 words to (flat index, value) pairs with a static-size
+    jnp.nonzero. Hits are ~1 per row video (self-matches) in production
+    sweeps, so fetching dense [A, B] masks moves ~400x more bytes than
+    the set bits need, and per-tile count+gather round trips cost 2 RPCs
+    each (~113 ms through a degraded tunnel; measured 66 s of an 81 s
+    drain phase at 131k). Everything the host needs rides back in one
+    flat int32 vector: [G*D*T counts | k_top tile ids | budget word
+    indices (-1 pad) | budget word values]. The host falls back to dense
+    mask fetches when >k_top tiles have hits or the words overflow the
+    budget — both visible in the counts section of the same fetch."""
 
     @jax.jit
-    def f(masks, d_idx, t_idx):
-        sel = masks[d_idx, t_idx]  # [K_pad, A, B] uint32
+    def f(cnts_list, masks_list):
+        cnts = jnp.stack(cnts_list)  # [G, D, T] int32
+        masks = jnp.stack(masks_list)  # [G, D, T, A, B] uint32
+        flat_cnts = cnts.reshape(-1)
+        _, top_idx = jax.lax.top_k(flat_cnts, k_top)
+        sel = masks.reshape(flat_cnts.shape[0], -1)[top_idx]  # [k_top, A*B]
         flat = sel.reshape(-1)
-        (idx,) = jnp.nonzero(flat, size=budget, fill_value=-1)
-        vals = jnp.where(idx >= 0, flat[jnp.maximum(idx, 0)], jnp.uint32(0))
-        # one [budget, 2] int32 array = ONE device->host transfer (idx,
-        # bitcast word value)
-        return jnp.stack(
-            [idx.astype(jnp.int32), jax.lax.bitcast_convert_type(vals, jnp.int32)],
-            axis=1,
+        (widx,) = jnp.nonzero(flat, size=budget, fill_value=-1)
+        vals = jnp.where(widx >= 0, flat[jnp.maximum(widx, 0)], jnp.uint32(0))
+        return jnp.concatenate(
+            [
+                flat_cnts,
+                top_idx.astype(jnp.int32),
+                widx.astype(jnp.int32),
+                jax.lax.bitcast_convert_type(vals, jnp.int32),
+            ]
         )
 
     return f
@@ -308,6 +316,10 @@ def _gather_nonzero_words_fn(k_pad: int, budget: int):
 #: nonzero-word budgets for the sparse drain; above the last rung the
 #: drain falls back to fetching the gathered tiles' dense masks
 _SPARSE_DRAIN_BUDGETS = (4096, 32768)
+
+#: tiles gathered per fused drain call (ample: hits concentrate in the
+#: few tiles holding self-matches and duplicates)
+_DRAIN_K_TOP = 32
 
 
 @functools.lru_cache(maxsize=16)
@@ -856,117 +868,14 @@ class TpuSearchEngine:
         out: list[tuple[int, int, int]] = []
         inflight: deque = deque()
         # drain-phase attribution (printed when HVD_DEBUG_TIMING is set):
-        # cnts = blocking count fetches, mask = bitmask gather+fetch,
-        # host = bit unpack + hit decode
-        _drain_acc = {"cnts": 0.0, "mask": 0.0, "host": 0.0, "tiles": 0}
+        # fetch = fused extract dispatch+fetch (includes waiting out the
+        # group's device work), host = bit unpack + hit decode
+        _drain_acc = {"fetch": 0.0, "host": 0.0, "tiles": 0, "dense": 0}
+        budget_rung = [0]  # sticky escalation across groups
 
-        def drain(rmap, rn, result):
-            _td = _time.time()
-            cnts_dev, masks_dev = result
-            cnts = np.asarray(cnts_dev)  # [D, T] — forces the dispatch
-            _drain_acc["cnts"] += _time.time() - _td
-            _drain_acc["tiles"] += 1
-            if self._progress_cb is not None:
-                self._progress_done += rn * total_cols
-                self._progress_cb(self._progress_done, self._progress_total)
-            if int(cnts.sum()) == 0:
-                return
-            _td = _time.time()
-            nonzero = np.argwhere(cnts > 0)
-            A, B = masks_dev.shape[2], masks_dev.shape[3]
-            local_slots = A * 32 if mask_rows else A
-            # hits are ~1 per row video in production sweeps (self-matches
-            # plus sparse duplicates): gather the nonzero tiles' bitmasks
-            # ON DEVICE and compact their nonzero uint32 words to (flat
-            # index, value) pairs, fetched as ONE small transfer. Fetching
-            # the dense [A, B] masks instead moved ~400x more bytes than
-            # the set bits needed — measured 59.5 s of an 81 s drain phase
-            # (131k chunk, tunnel-degraded session). Dense fallback when
-            # hits exceed the word budget, too many tiles are nonzero (the
-            # device-side nonzero scans k_pad*A*B words), or no zero-count
-            # tile exists to pad the gather with.
-            total_hits = int(cnts[nonzero[:, 0], nonzero[:, 1]].sum())
-            budget = next(
-                (b for b in _SPARSE_DRAIN_BUDGETS if total_hits <= b), None
-            )
-            k_pad = 1
-            while k_pad < len(nonzero):
-                k_pad <<= 1
-            zeros = np.argwhere(cnts == 0)
-            sparse_ok = (
-                budget is not None
-                and k_pad <= 32
-                and (k_pad == len(nonzero) or len(zeros))
-            )
-            if sparse_ok:
-                pad = zeros[0] if len(zeros) else nonzero[0]
-                gidx = np.concatenate(
-                    [nonzero, np.broadcast_to(pad, (k_pad - len(nonzero), 2))]
-                )
-                iv = np.asarray(
-                    _gather_nonzero_words_fn(k_pad, budget)(
-                        masks_dev,
-                        jnp.asarray(np.ascontiguousarray(gidx[:, 0])),
-                        jnp.asarray(np.ascontiguousarray(gidx[:, 1])),
-                    )
-                )  # [budget, 2] int32
-                _drain_acc["mask"] += _time.time() - _td
-                _td = _time.time()
-                keep_w = iv[:, 0] >= 0
-                idx = iv[keep_w, 0]
-                vals = np.ascontiguousarray(iv[keep_w, 1]).view(np.uint32)
-                k_arr, rem = np.divmod(idx, A * B)
-                a_arr, b_arr = np.divmod(rem, B)
-                bitmat = np.unpackbits(
-                    vals.view(np.uint8).reshape(-1, 4), axis=1, bitorder="little"
-                )  # [M, 32]
-                m_i, bit_i = np.nonzero(bitmat)
-                if mask_rows:
-                    rows_l = a_arr[m_i] * 32 + bit_i
-                    cols_l = b_arr[m_i]
-                else:
-                    rows_l = a_arr[m_i]
-                    cols_l = b_arr[m_i] * 32 + bit_i
-                d_arr = nonzero[k_arr[m_i], 0]
-                t_arr = nonzero[k_arr[m_i], 1]
-            else:
-                if len(nonzero) > cnts.size // 4:
-                    masks_all = np.asarray(masks_dev)
-                    sel = masks_all[nonzero[:, 0], nonzero[:, 1]]
-                else:
-                    sel = np.asarray(
-                        masks_dev[
-                            jnp.asarray(nonzero[:, 0]), jnp.asarray(nonzero[:, 1])
-                        ]
-                    )
-                _drain_acc["mask"] += _time.time() - _td
-                _td = _time.time()
-                parts = []
-                for k, (d, t) in enumerate(nonzero):
-                    m = np.ascontiguousarray(sel[k])
-                    if mask_rows:
-                        # row-packed words [blocks*MASK_WORDS, col_slots]:
-                        # bit b of word [w, c] = row slot w*32+b
-                        b3 = np.unpackbits(
-                            m.view(np.uint8).reshape(A, B, 4),
-                            axis=2,
-                            bitorder="little",
-                        )  # [A, B, 32]
-                        bits = np.moveaxis(b3, 2, 1).reshape(A * 32, B)
-                    else:
-                        bits = np.unpackbits(
-                            m.view(np.uint8), axis=-1, bitorder="little"
-                        )
-                    r_i, c_i = np.nonzero(bits)
-                    parts.append(
-                        (np.full(len(r_i), d), np.full(len(r_i), t), r_i, c_i)
-                    )
-                d_arr = np.concatenate([p[0] for p in parts])
-                t_arr = np.concatenate([p[1] for p in parts])
-                rows_l = np.concatenate([p[2] for p in parts])
-                cols_l = np.concatenate([p[3] for p in parts])
-
-            ia_arr = np.asarray(rmap)[d_arr * local_slots + rows_l]
+        def _emit(group, g_arr, d_arr, t_arr, rows_l, cols_l, local_slots):
+            rmaps = np.stack([g[0] for g in group])  # [G, D*local_slots]
+            ia_arr = rmaps[g_arr, d_arr * local_slots + rows_l]
             ib_arr = smaps_arr[t_arr, cols_l]
             keep = (ia_arr >= 0) & (ib_arr >= 0)
             if col_limit is not None:
@@ -982,8 +891,99 @@ class TpuSearchEngine:
                 # prune mode: candidate (row, col) pairs only — similarity
                 # comes from the exact verify stage, not per-hit host calls
                 out.extend(zip(ia_arr[keep].tolist(), ib_arr[keep].tolist()))
+
+        def drain_group(group):
+            """Extract every hit of a group of row-tile sweep results with
+            ONE fused dispatch + ONE fetch (_fused_group_extract_fn); the
+            budget escalates stickily and overflows fall back to dense
+            per-tile mask fetches. Per-tile count+gather round trips were
+            the drain's dominant cost through a slow transport."""
+            _td = _time.time()
+            cnts_list = tuple(g[2][0] for g in group)
+            masks_list = tuple(g[2][1] for g in group)
+            G = len(group)
+            D, T, A, B = masks_list[0].shape
+            local_slots = A * 32 if mask_rows else A
+            n0 = G * D * T
+            k_top = min(_DRAIN_K_TOP, n0)  # top_k needs k <= array size
+            while True:
+                budget = _SPARSE_DRAIN_BUDGETS[budget_rung[0]]
+                vec = np.asarray(
+                    _fused_group_extract_fn(k_top, budget)(cnts_list, masks_list)
+                )
+                cnts = vec[:n0].reshape(G, D, T)
+                total_hits = int(cnts.sum())
+                if (
+                    total_hits <= budget
+                    or budget_rung[0] + 1 >= len(_SPARSE_DRAIN_BUDGETS)
+                ):
+                    break
+                budget_rung[0] += 1  # escalate and re-extract (masks are
+                # still on device; one extra round trip, then sticky)
+            _drain_acc["fetch"] += _time.time() - _td
+            _drain_acc["tiles"] += G
+            if self._progress_cb is not None:
+                self._progress_done += sum(g[1] for g in group) * total_cols
+                self._progress_cb(self._progress_done, self._progress_total)
+            if total_hits == 0:
+                return
+            _td = _time.time()
+            nz = int((cnts > 0).sum())
+            if nz <= k_top and total_hits <= budget:
+                top_idx = vec[n0 : n0 + k_top]
+                widx = vec[n0 + k_top : n0 + k_top + budget]
+                vals_i = vec[n0 + k_top + budget :]
+                keep_w = widx >= 0
+                widx = widx[keep_w]
+                vals = np.ascontiguousarray(vals_i[keep_w]).view(np.uint32)
+                k_arr, rem = np.divmod(widx, A * B)
+                a_arr, b_arr = np.divmod(rem, B)
+                bitmat = np.unpackbits(
+                    vals.view(np.uint8).reshape(-1, 4), axis=1, bitorder="little"
+                )  # [M, 32]
+                m_i, bit_i = np.nonzero(bitmat)
+                if mask_rows:
+                    rows_l = a_arr[m_i] * 32 + bit_i
+                    cols_l = b_arr[m_i]
+                else:
+                    rows_l = a_arr[m_i]
+                    cols_l = b_arr[m_i] * 32 + bit_i
+                flat_tile = top_idx[k_arr[m_i]]
+                g_arr, dt = np.divmod(flat_tile, D * T)
+                d_arr, t_arr = np.divmod(dt, T)
+            else:
+                # dense fallback: fetch each nonzero tile's full bitmask
+                _drain_acc["dense"] += 1
+                parts = []
+                for g, d, t in np.argwhere(cnts > 0):
+                    m = np.ascontiguousarray(np.asarray(masks_list[g][d, t]))
+                    if mask_rows:
+                        # row-packed words [blocks*MASK_WORDS, col_slots]:
+                        # bit b of word [w, c] = row slot w*32+b
+                        b3 = np.unpackbits(
+                            m.view(np.uint8).reshape(A, B, 4),
+                            axis=2,
+                            bitorder="little",
+                        )  # [A, B, 32]
+                        bits = np.moveaxis(b3, 2, 1).reshape(A * 32, B)
+                    else:
+                        bits = np.unpackbits(
+                            m.view(np.uint8), axis=-1, bitorder="little"
+                        )
+                    r_i, c_i = np.nonzero(bits)
+                    parts.append((
+                        np.full(len(r_i), g), np.full(len(r_i), d),
+                        np.full(len(r_i), t), r_i, c_i,
+                    ))
+                g_arr = np.concatenate([p[0] for p in parts])
+                d_arr = np.concatenate([p[1] for p in parts])
+                t_arr = np.concatenate([p[2] for p in parts])
+                rows_l = np.concatenate([p[3] for p in parts])
+                cols_l = np.concatenate([p[4] for p in parts])
+            _emit(group, g_arr, d_arr, t_arr, rows_l, cols_l, local_slots)
             _drain_acc["host"] += _time.time() - _td
 
+        group_n = self.DRAIN_GROUP
         n_tile_laps = 0
         for i0 in range(0, len(row_blocks), row_blocks_per_tile):
             group = row_blocks[i0 : i0 + row_blocks_per_tile]
@@ -1001,16 +1001,20 @@ class TpuSearchEngine:
             if n_tile_laps < 8:
                 _lap(f"row tile {i0 // row_blocks_per_tile} dispatched")
                 n_tile_laps += 1
-            while len(inflight) >= self.MAX_TILES_IN_FLIGHT:
-                drain(*inflight.popleft())
+            # keep a full group computing while the previous group drains
+            if len(inflight) >= 2 * group_n:
+                drain_group([inflight.popleft() for _ in range(group_n)])
         while inflight:
-            drain(*inflight.popleft())
+            drain_group(
+                [inflight.popleft() for _ in range(min(group_n, len(inflight)))]
+            )
         _lap("row tiles + drain")
         if _debug:
             print(
                 "[seg-timing] drain split: "
-                f"cnts {_drain_acc['cnts']:.1f}s mask {_drain_acc['mask']:.1f}s "
-                f"host {_drain_acc['host']:.1f}s over {_drain_acc['tiles']} row tiles",
+                f"fetch {_drain_acc['fetch']:.1f}s host {_drain_acc['host']:.1f}s "
+                f"over {_drain_acc['tiles']} row tiles "
+                f"({_drain_acc['dense']} dense-fallback groups)",
                 flush=True,
             )
         return out
@@ -1076,6 +1080,11 @@ class TpuSearchEngine:
     #: dispatch is async, so the device computes tile k+1..k+N while the
     #: host extracts hits from tile k (bounded to cap HBM held by results)
     MAX_TILES_IN_FLIGHT = 4
+
+    #: row tiles drained per fused extract call in the segment route; the
+    #: route keeps 2x this many sweep results in flight (HBM held by mask
+    #: results: 2 * DRAIN_GROUP * ~134 MB at 1M-video column width)
+    DRAIN_GROUP = 8
 
     #: column-side ±1 expansion budget (bytes of HBM): above it the
     #: segment sweep keeps columns bit-packed in HBM and expands per scan

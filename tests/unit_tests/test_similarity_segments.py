@@ -153,7 +153,7 @@ def test_drain_sparse_and_dense_paths_agree(rng, monkeypatch):
     sparse_pruned = sorted(
         eng.TpuSearchEngine().find_pairs_pruned(vids, vids, 75)
     )
-    monkeypatch.setattr(eng, "_SPARSE_DRAIN_BUDGETS", ())
+    monkeypatch.setattr(eng, "_SPARSE_DRAIN_BUDGETS", (1,))
     dense = sorted(
         eng.TpuSearchEngine(force_segments=True).find_pairs(vids, vids, 75)
     )
