@@ -317,9 +317,11 @@ def _fused_group_extract_fn(k_top: int, budget: int):
 #: drain falls back to fetching the gathered tiles' dense masks
 _SPARSE_DRAIN_BUDGETS = (4096, 32768)
 
-#: tiles gathered per fused drain call (ample: hits concentrate in the
-#: few tiles holding self-matches and duplicates)
-_DRAIN_K_TOP = 32
+#: tiles gathered per fused drain call (sticky ladder): a group of 8 row
+#: tiles over a 1M corpus lands hits in ~24-40 column tiles (self-match
+#: diagonal + duplicates), so 64 covers production groups; the 256 rung
+#: absorbs clumped corpora before any dense fallback
+_DRAIN_K_TOPS = (64, 256)
 
 
 @functools.lru_cache(maxsize=16)
@@ -872,6 +874,7 @@ class TpuSearchEngine:
         # group's device work), host = bit unpack + hit decode
         _drain_acc = {"fetch": 0.0, "host": 0.0, "tiles": 0, "dense": 0}
         budget_rung = [0]  # sticky escalation across groups
+        ktop_rung = [0]
 
         def _emit(group, g_arr, d_arr, t_arr, rows_l, cols_l, local_slots):
             rmaps = np.stack([g[0] for g in group])  # [G, D*local_slots]
@@ -905,21 +908,31 @@ class TpuSearchEngine:
             D, T, A, B = masks_list[0].shape
             local_slots = A * 32 if mask_rows else A
             n0 = G * D * T
-            k_top = min(_DRAIN_K_TOP, n0)  # top_k needs k <= array size
             while True:
                 budget = _SPARSE_DRAIN_BUDGETS[budget_rung[0]]
+                # top_k needs k <= array size
+                k_top = min(_DRAIN_K_TOPS[ktop_rung[0]], n0)
                 vec = np.asarray(
                     _fused_group_extract_fn(k_top, budget)(cnts_list, masks_list)
                 )
                 cnts = vec[:n0].reshape(G, D, T)
                 total_hits = int(cnts.sum())
+                # escalate and re-extract on overflow (masks are still on
+                # device; one extra round trip, then sticky)
                 if (
-                    total_hits <= budget
-                    or budget_rung[0] + 1 >= len(_SPARSE_DRAIN_BUDGETS)
+                    total_hits > budget
+                    and budget_rung[0] + 1 < len(_SPARSE_DRAIN_BUDGETS)
                 ):
-                    break
-                budget_rung[0] += 1  # escalate and re-extract (masks are
-                # still on device; one extra round trip, then sticky)
+                    budget_rung[0] += 1
+                    continue
+                if (
+                    int((cnts > 0).sum()) > k_top
+                    and k_top < n0
+                    and ktop_rung[0] + 1 < len(_DRAIN_K_TOPS)
+                ):
+                    ktop_rung[0] += 1
+                    continue
+                break
             _drain_acc["fetch"] += _time.time() - _td
             _drain_acc["tiles"] += G
             if self._progress_cb is not None:
