@@ -151,8 +151,12 @@ def main():
         ]
         marks = [(label, stage_t[k]) for k, label in order if k in stage_t]
         log("stage breakdown:")
+        if marks:
+            log(f"  pre-stage1 setup (t0 -> first HashingProgress): {marks[0][1] - t0:.1f}s")
         for (label, t_a), (_, t_b) in zip(marks, marks[1:]):
             log(f"  {label}: {t_b - t_a:.1f}s")
+        if marks:
+            log(f"  post-DoneProgress: {t0 + wall - marks[-1][1]:.1f}s")
         pairs = len(server.relationships)
         vpm = N / (wall / 60.0)
         log(

@@ -278,26 +278,43 @@ def _mega_sweep_body(rf_packed, ri, cf, ci, valid, tolerance):
 @functools.lru_cache(maxsize=32)
 def _fused_group_extract_fn(k_top: int, budget: int):
     """Fused drain extraction for a GROUP of row-tile sweep results in ONE
-    dispatch + ONE fetch: stack the group's per-tile hit counts and
-    bitmasks, gather the k_top highest-count tiles, and compact their
-    nonzero uint32 words to (flat index, value) pairs with a static-size
-    jnp.nonzero. Hits are ~1 per row video (self-matches) in production
-    sweeps, so fetching dense [A, B] masks moves ~400x more bytes than
-    the set bits need, and per-tile count+gather round trips cost 2 RPCs
-    each (~113 ms through a degraded tunnel; measured 66 s of an 81 s
-    drain phase at 131k). Everything the host needs rides back in one
-    flat int32 vector: [G*D*T counts | k_top tile ids | budget word
-    indices (-1 pad) | budget word values]. The host falls back to dense
-    mask fetches when >k_top tiles have hits or the words overflow the
-    budget — both visible in the counts section of the same fetch."""
+    dispatch + ONE fetch: stack the group's per-tile hit counts, gather
+    the kg = min(k_top, D*T) highest-count [A, B] tiles FROM EACH mask
+    (leading-dim gather — never stacking or flattening the full masks,
+    which at 10M-video column widths would materialize a ~16 GB HLO
+    temp), and compact their nonzero uint32 words to (flat index, value)
+    pairs with a static-size jnp.nonzero. Hits are ~1 per row video
+    (self-matches) in production sweeps, so fetching dense [A, B] masks
+    moves ~400x more bytes than the set bits need, and per-tile
+    count+gather round trips cost 2 RPCs each (~113 ms through a
+    degraded tunnel; measured 66 s of an 81 s drain phase at 131k).
+    Everything the host needs rides back in one flat int32 vector:
+    [G*D*T counts | G*kg tile ids (g-major) | budget word indices (-1
+    pad) | budget word values]. The host falls back to dense mask
+    fetches when any one mask has >kg nonzero tiles or the words
+    overflow the budget — both visible in the counts section of the
+    same fetch."""
 
     @jax.jit
     def f(cnts_list, masks_list):
-        cnts = jnp.stack(cnts_list)  # [G, D, T] int32
-        masks = jnp.stack(masks_list)  # [G, D, T, A, B] uint32
+        cnts = jnp.stack(cnts_list)  # [G, D, T] int32 (tiny)
         flat_cnts = cnts.reshape(-1)
-        _, top_idx = jax.lax.top_k(flat_cnts, k_top)
-        sel = masks.reshape(flat_cnts.shape[0], -1)[top_idx]  # [k_top, A*B]
+        # Gather each tile's k_top highest-count [A, B] masks BEFORE any
+        # flatten: stacking the G full masks and reshaping [G*D*T, A*B]
+        # materializes an HLO temp of the whole group (~16 GB padded at a
+        # 10M-video column corpus — OOMs a 16 GB chip). A leading-dim
+        # gather copies only k_top tiles per mask (~10 MB), never the
+        # masks themselves.
+        sel_parts, idx_parts = [], []
+        for g, m in enumerate(masks_list):
+            d_, t_, a_, b_ = m.shape
+            cg = cnts[g].reshape(-1)  # [D*T]
+            kg = min(k_top, cg.shape[0])
+            _, ti = jax.lax.top_k(cg, kg)
+            sel_parts.append(m.reshape(d_ * t_, a_, b_)[ti])  # [kg, A, B]
+            idx_parts.append(ti + g * d_ * t_)
+        sel = jnp.concatenate(sel_parts)  # [G*kg, A, B]
+        top_idx = jnp.concatenate(idx_parts)
         flat = sel.reshape(-1)
         (widx,) = jnp.nonzero(flat, size=budget, fill_value=-1)
         vals = jnp.where(widx >= 0, flat[jnp.maximum(widx, 0)], jnp.uint32(0))
@@ -910,13 +927,18 @@ class TpuSearchEngine:
             n0 = G * D * T
             while True:
                 budget = _SPARSE_DRAIN_BUDGETS[budget_rung[0]]
-                # top_k needs k <= array size
-                k_top = min(_DRAIN_K_TOPS[ktop_rung[0]], n0)
+                # the extract gathers min(k_top, D*T) tiles PER mask
+                # (g-major concatenation) — mirror that layout here
+                kg = min(_DRAIN_K_TOPS[ktop_rung[0]], D * T)
+                k_eff = G * kg
                 vec = np.asarray(
-                    _fused_group_extract_fn(k_top, budget)(cnts_list, masks_list)
+                    _fused_group_extract_fn(
+                        _DRAIN_K_TOPS[ktop_rung[0]], budget
+                    )(cnts_list, masks_list)
                 )
                 cnts = vec[:n0].reshape(G, D, T)
                 total_hits = int(cnts.sum())
+                nz_g_max = int((cnts > 0).reshape(G, -1).sum(axis=1).max())
                 # escalate and re-extract on overflow (masks are still on
                 # device; one extra round trip, then sticky)
                 if (
@@ -926,8 +948,8 @@ class TpuSearchEngine:
                     budget_rung[0] += 1
                     continue
                 if (
-                    int((cnts > 0).sum()) > k_top
-                    and k_top < n0
+                    nz_g_max > kg
+                    and kg < D * T
                     and ktop_rung[0] + 1 < len(_DRAIN_K_TOPS)
                 ):
                     ktop_rung[0] += 1
@@ -941,11 +963,10 @@ class TpuSearchEngine:
             if total_hits == 0:
                 return
             _td = _time.time()
-            nz = int((cnts > 0).sum())
-            if nz <= k_top and total_hits <= budget:
-                top_idx = vec[n0 : n0 + k_top]
-                widx = vec[n0 + k_top : n0 + k_top + budget]
-                vals_i = vec[n0 + k_top + budget :]
+            if nz_g_max <= kg and total_hits <= budget:
+                top_idx = vec[n0 : n0 + k_eff]
+                widx = vec[n0 + k_eff : n0 + k_eff + budget]
+                vals_i = vec[n0 + k_eff + budget :]
                 keep_w = widx >= 0
                 widx = widx[keep_w]
                 vals = np.ascontiguousarray(vals_i[keep_w]).view(np.uint32)
@@ -996,7 +1017,7 @@ class TpuSearchEngine:
             _emit(group, g_arr, d_arr, t_arr, rows_l, cols_l, local_slots)
             _drain_acc["host"] += _time.time() - _td
 
-        group_n = self.DRAIN_GROUP
+        group_n = None  # resolved from the first sweep result's mask shape
         n_tile_laps = 0
         for i0 in range(0, len(row_blocks), row_blocks_per_tile):
             group = row_blocks[i0 : i0 + row_blocks_per_tile]
@@ -1011,6 +1032,18 @@ class TpuSearchEngine:
                 self._put_rows(cnt),
             )
             inflight.append((rmap, rn, sweep(*row_args, cf, ci, cc, valid, min_sim_dev)))
+            if group_n is None:
+                # bound in-flight mask HBM: 2*group_n padded masks must fit
+                # DRAIN_HBM_BUDGET_MB (trailing word dims < 128 lanes pad 2x)
+                msh = inflight[0][2][1].shape
+                mask_mb = 2 * 4 * int(np.prod(msh)) / 1e6
+                group_n = max(
+                    1,
+                    min(
+                        self.DRAIN_GROUP,
+                        int(self.DRAIN_HBM_BUDGET_MB / max(mask_mb, 1e-3)) // 2,
+                    ),
+                )
             if n_tile_laps < 8:
                 _lap(f"row tile {i0 // row_blocks_per_tile} dispatched")
                 n_tile_laps += 1
@@ -1098,6 +1131,12 @@ class TpuSearchEngine:
     #: route keeps 2x this many sweep results in flight (HBM held by mask
     #: results: 2 * DRAIN_GROUP * ~134 MB at 1M-video column width)
     DRAIN_GROUP = 8
+
+    #: HBM held by in-flight sweep mask results (MB): at 10M-video column
+    #: widths a single row tile's mask is ~1 GB (x2 lane padding), so the
+    #: 2*DRAIN_GROUP in-flight default would alone exceed a v5e's 16 GB.
+    #: The route shrinks the group so 2*group_n padded masks fit this.
+    DRAIN_HBM_BUDGET_MB = 8192
 
     #: column-side ±1 expansion budget (bytes of HBM): above it the
     #: segment sweep keeps columns bit-packed in HBM and expands per scan
