@@ -289,6 +289,20 @@ def test_pruned_equals_unpruned(rng, min_sim):
         assert ref  # planted duplicates must appear
 
 
+def test_pruned_exact_with_tiny_drain_hbm_budget(rng):
+    """The drain shrinks its group to fit DRAIN_HBM_BUDGET_MB (10M-scale
+    masks are ~1 GB each); group_n=1 must stay exact — covers the G=1
+    extract trace, partial groups, and the per-mask top-k gather."""
+    from hydrus_video_deduplicator_tpu.parallel.engine import TpuSearchEngine
+
+    blobs = _mixed_corpus(rng)
+    ref = sorted(TpuSearchEngine(force_segments=True).find_pairs(blobs, blobs, 60))
+    eng = TpuSearchEngine(force_segments=True)
+    eng.DRAIN_HBM_BUDGET_MB = 1  # force group_n == 1
+    got = sorted(eng.find_pairs_pruned(blobs, blobs, 60))
+    assert got == ref
+
+
 def test_pruned_equals_unpruned_with_long_videos(rng):
     from hydrus_video_deduplicator_tpu.parallel.engine import TpuSearchEngine
 
