@@ -15,10 +15,11 @@ just scales wall time; reps are not used: random frames do not
 compress, and the auto prefilter correctly declines). Planted: every
 new row k < N_PLANT is a re-encode of corpus video k*101.
 
-Reports wall, peak RSS, and host/device memory highwater notes; checks
-every planted pair found at its exact similarity, zero extras, and that
-engine host memory stays bounded by tile size (RSS delta during the
-sweep, after corpus build, stays under ~4 GB).
+Reports wall, peak RSS (the one-time 10M column-side packing/staging is
+corpus-proportional host memory — measured ~20 GB over the 5.8 GB blob
+corpus on the r3 run — while per-chunk row work stays tile-bounded);
+checks every planted pair found at its exact similarity, zero extras,
+zero wrong similarities.
 
 Usage: python artifacts/delta_10m.py [n_corpus] [n_new] [chunk]
 """

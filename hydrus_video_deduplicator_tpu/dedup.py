@@ -430,25 +430,56 @@ class HydrusVideoDeduplicator:
         dt = time.perf_counter() - t0
         return (buf.nbytes / 1e6) / max(dt, 1e-9)
 
+    #: wall-clock budget for the auto-backend device probe: first device
+    #: contact (backend init + tunnel handshake) through a degraded remote
+    #: transport measured 45-360 s — dead time before stage 1 starts, on a
+    #: link the policy would reject anyway. A device that cannot init+move
+    #: 4 MB inside this budget cannot feed 786 KB frames either.
+    HASH_PROBE_TIMEOUT_S = 10.0
+
     def _pick_hash_backend(self, num_files: int) -> str:
         """Resolve the stage-1 backend ("auto" mirrors _pick_search_backend:
         device only when the batch is big enough AND the measured link can
-        feed it — VERDICT r2 item 3)."""
+        feed it — VERDICT r2 item 3).
+
+        The probe runs in a daemon thread with a hard timeout: on slow
+        transports jax's first device contact alone can cost minutes
+        (measured via artifacts/bench_e2e.py's pre-stage1 line), so a
+        probe that overruns the budget resolves to "native" immediately
+        while device init keeps warming in the background for stage 4."""
         if self.hash_backend in ("native", "tpu"):
             return self.hash_backend
         if num_files < self.TPU_HASH_MIN_BATCH:
             return "native"
-        try:
-            import jax
+        import threading
 
-            if jax.devices()[0].platform != "tpu":
-                return "native"
-        except Exception:
-            return "native"
-        mbps = self._device_link_mbps()
-        backend = "tpu" if mbps >= self.TPU_HASH_MIN_LINK_MBPS else "native"
-        log.info("hash backend auto: link %.0f MB/s -> %s", mbps, backend)
-        return backend
+        result: dict = {}
+
+        def probe() -> None:
+            try:
+                import jax
+
+                if jax.devices()[0].platform != "tpu":
+                    result["backend"] = "native"
+                    return
+                result["mbps"] = self._device_link_mbps()
+            except Exception:
+                result["backend"] = "native"
+
+        th = threading.Thread(target=probe, daemon=True)
+        th.start()
+        th.join(self.HASH_PROBE_TIMEOUT_S)
+        if "mbps" in result:
+            mbps = result["mbps"]
+            backend = "tpu" if mbps >= self.TPU_HASH_MIN_LINK_MBPS else "native"
+            log.info("hash backend auto: link %.0f MB/s -> %s", mbps, backend)
+            return backend
+        if "backend" not in result:
+            log.info(
+                "hash backend auto: device probe exceeded %.0fs -> native",
+                self.HASH_PROBE_TIMEOUT_S,
+            )
+        return "native"
 
     def add_perceptual_hashes_to_db(self, video_hashes: "Sequence[str]") -> PerceptualHashingStats:
         if self._pick_hash_backend(len(video_hashes)) == "tpu":

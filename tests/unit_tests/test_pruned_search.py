@@ -402,6 +402,7 @@ def test_hash_backend_auto_policy(monkeypatch):
             hash_backend=backend,
             TPU_HASH_MIN_BATCH=D.TPU_HASH_MIN_BATCH,
             TPU_HASH_MIN_LINK_MBPS=D.TPU_HASH_MIN_LINK_MBPS,
+            HASH_PROBE_TIMEOUT_S=D.HASH_PROBE_TIMEOUT_S,
             _device_link_mbps=lambda: mbps,
         )
 
@@ -417,6 +418,16 @@ def test_hash_backend_auto_policy(monkeypatch):
     monkeypatch.setattr(jax, "devices", lambda: [FakeDev()])
     assert pick(ns("auto", 1e9), 10_000) == "tpu"
     assert pick(ns("auto", 10.0), 10_000) == "native"  # tunnel-class link
+
+    # probe overruns its wall-clock budget -> native, without waiting
+    import time as _t
+
+    slow = ns("auto", 0.0)
+    slow.HASH_PROBE_TIMEOUT_S = 0.05
+    slow._device_link_mbps = lambda: (_t.sleep(5), 1e9)[1]
+    t0 = _t.time()
+    assert pick(slow, 10_000) == "native"
+    assert _t.time() - t0 < 2.0
 
     class CpuDev:
         platform = "cpu"
