@@ -781,30 +781,33 @@ class TpuSearchEngine:
         cols_stacked = None if state is None else state.get("seg_scan_cols")
         if cols_stacked is None:
             col_chunks = seg.pack_blocks(seg_cols, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS)
-            pks, ids, cnts_h, smaps = [], [], [], []
-            for j0 in range(0, len(col_chunks), chunks_per_tile):
+            # tile count pads to the next power of two with empty
+            # (validity-skipped) tiles: the scan length bakes into the
+            # compiled program, so without padding every distinct corpus
+            # size costs a fresh multi-minute XLA compile of the T-step
+            # scan; padded, one compile covers the whole power-of-two range.
+            # The padded stacked staging arrays are preallocated and filled
+            # per tile — a list-then-np.stack doubles peak host RAM (GBs at
+            # 10M-video columns).
+            n_real = (len(col_chunks) + chunks_per_tile - 1) // chunks_per_tile
+            n_pad = 1
+            while n_pad < n_real:
+                n_pad <<= 1
+            pk_all = ids_all = cnt_all = smaps = None
+            for t, j0 in enumerate(range(0, len(col_chunks), chunks_per_tile)):
                 group = col_chunks[j0 : j0 + chunks_per_tile]
                 pk, slot_ids, cnt, smap = seg.stack_blocks(
                     group, chunks_per_tile, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS
                 )
-                pks.append(pk)
-                ids.append(slot_ids)
-                cnts_h.append(cnt)
-                smaps.append(smap)
-            # pad the tile count to the next power of two with empty
-            # (validity-skipped) tiles: the scan length bakes into the
-            # compiled program, so without padding every distinct corpus
-            # size costs a fresh multi-minute XLA compile of the T-step
-            # scan; padded, one compile covers the whole power-of-two range
-            n_real = len(pks)
-            n_pad = 1
-            while n_pad < n_real:
-                n_pad <<= 1
-            for _ in range(n_pad - n_real):
-                pks.append(np.zeros_like(pks[0]))
-                ids.append(np.full_like(ids[0], -1))
-                cnts_h.append(np.zeros_like(cnts_h[0]))
-                smaps.append(np.full_like(smaps[0], -1))
+                if pk_all is None:
+                    pk_all = np.zeros((n_pad,) + pk.shape, pk.dtype)
+                    ids_all = np.full((n_pad,) + slot_ids.shape, -1, slot_ids.dtype)
+                    cnt_all = np.zeros((n_pad,) + cnt.shape, cnt.dtype)
+                    smaps = np.full((n_pad,) + smap.shape, -1, smap.dtype)
+                pk_all[t] = pk
+                ids_all[t] = slot_ids
+                cnt_all[t] = cnt
+                smaps[t] = smap
             # frames travel BIT-PACKED (8x less H2D). Default: expand to
             # the kernel's ±1 rows ON DEVICE, once — the pm1 expansion
             # lives in HBM across the whole sweep (and, via col_state,
@@ -812,19 +815,20 @@ class TpuSearchEngine:
             # expansion would not fit HBM (10M-video column corpora are
             # ~20 GB of ±1 rows), the columns stay packed in HBM (8x
             # smaller) and each scan step expands its own tile.
-            pm1_bytes = len(pks) * pks[0].shape[0] * BYTES * 8
+            pm1_bytes = n_pad * pk_all.shape[1] * BYTES * 8
             cols_packed_mode = pm1_bytes > self.COL_PM1_HBM_BUDGET
-            ci_dev = self._put_cols(np.stack(ids))
+            ci_dev = self._put_cols(ids_all)
             if cols_packed_mode:
-                cf_dev = self._put_cols(np.stack(pks))
+                cf_dev = self._put_cols(pk_all)
             else:
-                cf_dev = self._unpack_cols(np.stack(pks), ci_dev)
+                cf_dev = self._unpack_cols(pk_all, ci_dev)
+            del pk_all, ids_all
             cols_stacked = (
                 cf_dev,
                 ci_dev,
-                self._put_cols(np.stack(cnts_h)),
+                self._put_cols(cnt_all),
                 smaps,
-                sum(int((m >= 0).sum()) for m in smaps),
+                int((smaps >= 0).sum()),
                 cols_packed_mode,
             )
             if state is not None:
@@ -841,7 +845,7 @@ class TpuSearchEngine:
         cf, ci, cc, smaps, total_cols, cols_packed_mode = cols_stacked
         n_tiles = len(smaps)
         # [T, slots] corpus-index lookup for the vectorized drain emit
-        smaps_arr = np.stack(smaps)
+        smaps_arr = np.asarray(smaps)
 
         # per-tile validity: a tile is scanned only if it holds at least
         # one video (below col_limit, when given) — skips both the
