@@ -367,6 +367,63 @@ class DedupeDb:
                 {"h": hash_id},
             )
 
+    def drain_phashed_queue_batch(self, limit: int) -> int:
+        """Set-based equivalent of one stage-2 pass over up to `limit`
+        queue rows WITHOUT the per-insert tree descent (the deferred /
+        tpu-backend route): add files, find-or-insert phashes, rebind the
+        file->phash map, reset search-cache entries, and delete the
+        processed queue rows. Returns the number of rows processed.
+
+        Row-for-row identical end state to the per-row loop
+        (add_file + add_perceptual_hash + associate_file_with_perceptual_hash
+        (build_tree=False) + queue DELETE), but ~6 statements per BATCH
+        instead of ~10 per ROW — the per-row python/SQLite loop measured
+        ~1k rows/s at 1M queue rows (artifacts/db_scale_1m_r03.log), an
+        ~17-minute stage 2 the reference's own loop shares
+        (/root/reference/src/hydrusvideodeduplicator/dedup.py:253-294)."""
+        self.execute(
+            "CREATE TEMP TABLE IF NOT EXISTS q_batch "
+            "( file_hash BLOB_BYTES PRIMARY KEY, phash BLOB_BYTES )"
+        )
+        self.execute("DELETE FROM q_batch")
+        self.execute(
+            "INSERT INTO q_batch ( file_hash, phash ) "
+            "SELECT file_hash, phash FROM phashed_file_queue LIMIT :n",
+            {"n": int(limit)},
+        )
+        (n,) = self.execute("SELECT count(*) FROM q_batch").fetchone()
+        if n == 0:
+            return 0
+        self.execute(
+            "INSERT OR IGNORE INTO files ( file_hash ) SELECT file_hash FROM q_batch"
+        )
+        self.execute(
+            "INSERT OR IGNORE INTO shape_perceptual_hashes ( phash ) "
+            "SELECT DISTINCT phash FROM q_batch"
+        )
+        # re-hash semantics: a file already bound to a phash rebinds
+        self.execute(
+            "DELETE FROM shape_perceptual_hash_map WHERE hash_id IN "
+            "( SELECT f.hash_id FROM q_batch q JOIN files f ON f.file_hash = q.file_hash )"
+        )
+        self.execute(
+            "INSERT INTO shape_perceptual_hash_map ( phash_id, hash_id ) "
+            "SELECT p.phash_id, f.hash_id FROM q_batch q "
+            "JOIN files f ON f.file_hash = q.file_hash "
+            "JOIN shape_perceptual_hashes p ON p.phash = q.phash"
+        )
+        self.execute(
+            "REPLACE INTO shape_search_cache ( hash_id, searched_distance ) "
+            "SELECT f.hash_id, NULL FROM q_batch q "
+            "JOIN files f ON f.file_hash = q.file_hash"
+        )
+        self.execute(
+            "DELETE FROM phashed_file_queue WHERE file_hash IN "
+            "( SELECT file_hash FROM q_batch )"
+        )
+        self.execute("DELETE FROM q_batch")
+        return int(n)
+
     def get_phashes_missing_from_tree(self) -> list[tuple[int, bytes]]:
         """Perceptual hashes not yet inserted into the VP-tree (deferred by
         tpu-backend runs); the tree search path inserts them before use."""

@@ -270,3 +270,92 @@ def test_migration_0_6_0_sqlitedict():
         rows = db.execute("SELECT file_hash, phash FROM phashed_file_queue").fetchall()
         assert rows == [("aa" * 32, h1)]
         db.close()
+
+
+def test_batched_queue_drain_equals_per_row(tmp_path):
+    """DedupeDB.drain_phashed_queue_batch (the set-based stage-2 fast
+    path for the deferred-descent route) must leave the exact same DB
+    state as the per-row loop: same files, phash find-or-insert sharing,
+    map rebinding on re-hash, search-cache resets, and an empty queue."""
+
+    def mk(n):
+        DedupeDB.set_db_dir(tmp_path / somedbdir())
+        DedupeDB.create_db()
+        db = DedupeDB.DedupeDb(DedupeDB.get_db_dir(), DedupeDB.get_db_name())
+        db.init_connection()
+        return db
+
+    def fill(db):
+        # 60 files; files 10..19 share 5 phashes pairwise (dup content);
+        # file 0 is a RE-HASH: pre-bound to an old phash, queued with new
+        rng = np.random.default_rng(7)  # same corpus for both DBs
+        phashes = [rng.integers(0, 256, 64, dtype=np.uint8).tobytes() for _ in range(55)]
+        old = rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
+        db.add_file("f0")
+        db.add_perceptual_hash(old)
+        db.associate_file_with_perceptual_hash("f0", old, build_tree=False)
+        db.execute(
+            "UPDATE shape_search_cache SET searched_distance = 31"
+        )  # pretend searched
+        for k in range(60):
+            p = phashes[k % 5 + 10] if 10 <= k < 20 else phashes[k % 55]
+            db.add_to_phashed_files_queue(f"f{k}", p)
+        db.commit()
+
+    def snapshot(db):
+        """Natural-key state (hash_id/phash_id assignment order is an
+        internal autoincrement detail, not part of the contract)."""
+        out = {}
+        for t, q in (
+            ("files", "SELECT file_hash FROM files"),
+            ("shape_perceptual_hashes", "SELECT phash FROM shape_perceptual_hashes"),
+            (
+                "shape_perceptual_hash_map",
+                "SELECT f.file_hash, p.phash FROM shape_perceptual_hash_map m"
+                " JOIN files f ON f.hash_id = m.hash_id"
+                " JOIN shape_perceptual_hashes p ON p.phash_id = m.phash_id",
+            ),
+            (
+                "shape_search_cache",
+                "SELECT f.file_hash, c.searched_distance FROM shape_search_cache c"
+                " JOIN files f ON f.hash_id = c.hash_id",
+            ),
+            ("phashed_file_queue", "SELECT file_hash, phash FROM phashed_file_queue"),
+        ):
+            out[t] = sorted(
+                tuple(bytes(c) if isinstance(c, memoryview) else c for c in r)
+                for r in db.execute(q).fetchall()
+            )
+        return out
+
+    db_a = mk(0)
+    fill(db_a)
+    for file_hash, phash in db_a.execute(
+        "SELECT file_hash, phash FROM phashed_file_queue"
+    ).fetchall():
+        db_a.add_file(file_hash)
+        db_a.add_perceptual_hash(phash)
+        db_a.associate_file_with_perceptual_hash(file_hash, phash, build_tree=False)
+        db_a.execute(
+            "DELETE FROM phashed_file_queue WHERE file_hash = :f AND phash = :p",
+            {"f": file_hash, "p": phash},
+        )
+    db_a.commit()
+    snap_a = snapshot(db_a)
+    db_a.close()
+
+    db_b = mk(1)
+    fill(db_b)
+    drained = 0
+    while True:
+        n = db_b.drain_phashed_queue_batch(17)  # force partial batches
+        if n == 0:
+            break
+        drained += n
+        db_b.commit()
+    snap_b = snapshot(db_b)
+    db_b.close()
+
+    assert drained == 60
+    assert snap_a == snap_b
+    assert snap_a["phashed_file_queue"] == []
