@@ -98,10 +98,48 @@ def stage23(db, backend, label):
     return t_q
 
 
+def per_row_ladder(DedupeDB, sizes):
+    """The pre-round-3 per-row stage-2 loop, replicated directly (add_file
+    + add_perceptual_hash + associate(build_tree=False) + queue DELETE),
+    at a ladder of sizes. Without the hash_id index on
+    shape_perceptual_hash_map this collapses quadratically (960 rows/s at
+    20k -> ~200 rows/s at 1M, a 14-hour stage 2 — the run this driver
+    replaced was stopped at 80+ min); with it the rate stays flat."""
+    for n in sizes:
+        with tempfile.TemporaryDirectory() as dbdir:
+            DedupeDB.set_db_dir(dbdir)
+            DedupeDB.create_db()
+            db = DedupeDB.DedupeDb(DedupeDB.get_db_dir(), DedupeDB.get_db_name())
+            db.init_connection()
+            fill_queue(db, n, seed=9)
+            t0 = time.time()
+            db.begin_transaction()
+            with db.conn:
+                for file_hash, phash in db.execute(
+                    "SELECT file_hash, phash FROM phashed_file_queue"
+                ).fetchall():
+                    db.add_file(file_hash)
+                    db.add_perceptual_hash(phash)
+                    db.associate_file_with_perceptual_hash(
+                        file_hash, phash, build_tree=False
+                    )
+                    db.execute(
+                        "DELETE FROM phashed_file_queue WHERE file_hash = :f",
+                        {"f": file_hash},
+                    )
+            db.commit()
+            dt = time.time() - t0
+            log(f"[per-row {n}] {dt:.1f}s ({n / dt:.0f} rows/s)")
+            db.close()
+
+
 def main():
     import hydrus_video_deduplicator_tpu.db.DedupeDB as DedupeDB
 
-    # --- 1M rows, production TPU route (deferred tree descent) ---
+    # --- per-row loop rate ladder (flat now that the map is indexed) ---
+    per_row_ladder(DedupeDB, [25_000, 100_000, 400_000])
+
+    # --- 1M rows, production TPU route (set-based batched drain) ---
     with tempfile.TemporaryDirectory() as dbdir:
         DedupeDB.set_db_dir(dbdir)
         DedupeDB.create_db()
@@ -123,7 +161,7 @@ def main():
         t_tree = stage23(db, "tree", f"tree-route {TREE_N}")
         db.close()
     log(
-        f"SUMMARY: deferred route {N} rows {t_q:.1f}s; per-insert tree route "
+        f"SUMMARY: batched route {N} rows {t_q:.1f}s; per-insert tree route "
         f"{TREE_N} rows {t_tree:.1f}s -> 1M projection ~{t_tree * N / TREE_N / 60:.0f} min"
     )
 

@@ -152,6 +152,8 @@ class DedupeDb:
     def init_connection(self) -> None:
         self.conn = sqlite3.connect(self.db_dir / self.db_name)
         self.cur = self.conn.cursor()
+        self.ensure_indices()  # one-time for reference-created DBs
+        self.conn.commit()
 
     def execute(self, query: str, *args) -> sqlite3.Cursor:
         return self.cur.execute(query, *args)
@@ -185,10 +187,30 @@ class DedupeDb:
         "CREATE TABLE IF NOT EXISTS phashed_file_queue ( file_hash BLOB_BYTES NOT NULL UNIQUE, phash BLOB_BYTES NOT NULL, PRIMARY KEY ( file_hash, phash ) )",
     ]
 
+    #: the reference probes shape_perceptual_hash_map by hash_id (its
+    #: DedupeDB.py:307,356) — the (phash_id, hash_id) PK cannot serve
+    #: that, so every probe is a FULL TABLE SCAN and stage 2 / per-file
+    #: search degrade O(corpus^2) (measured: 960 rows/s at 20k queue
+    #: rows, ~200 rows/s at ~1M — a 14-hour stage 2). This index fixes
+    #: the class; it is schema-compatible both directions (an extra
+    #: index is invisible to the reference tool).
+    _INDICES = [
+        "CREATE INDEX IF NOT EXISTS shape_perceptual_hash_map_hash_id_index"
+        " ON shape_perceptual_hash_map ( hash_id )",
+    ]
+
     def create_tables(self) -> None:
         for stmt in self._SCHEMA:
             self.execute(stmt)
+        self.ensure_indices()
         self.execute("INSERT INTO version (version) VALUES (:v)", {"v": DB_VERSION})
+
+    def ensure_indices(self) -> None:
+        """Idempotent; also run on open so databases created by the
+        reference tool (or older builds) gain the indices one-time."""
+        if self.does_table_exist("shape_perceptual_hash_map"):
+            for stmt in self._INDICES:
+                self.execute(stmt)
 
     def does_table_exist(self, table: str) -> bool:
         res = self.execute(
