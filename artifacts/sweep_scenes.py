@@ -71,6 +71,11 @@ N_CLIP = 300  # subset-clip pairs (adjacent)
 N_EMPTY = 100
 MIN_SIM = 75
 
+#: median of the lognormal frames-per-video model (mean-71 profile at the
+#: default 48; HVD_SWEEP_MEDIAN=84 gives the mean-120 profile row of
+#: sweep_scenes_summary.md's scaling table)
+MEDIAN_FRAMES = float(os.environ.get("HVD_SWEEP_MEDIAN", "48"))
+
 GEN_CHUNK = 2_000_000  # frames per generation slab (bounds RNG temps)
 
 
@@ -81,7 +86,7 @@ def log(msg):
 def gen_corpus(rng):
     """Vectorized scene-model corpus -> (frames [F,32] u8, offsets [N+1])."""
     counts = np.clip(
-        np.rint(np.exp(rng.normal(np.log(48.0), 0.9, N))), 1, 512
+        np.rint(np.exp(rng.normal(np.log(MEDIAN_FRAMES), 0.9, N))), 1, 512
     ).astype(np.int64)
     offsets = np.zeros(N + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
