@@ -422,15 +422,51 @@ long hvd_cluster_reps(const uint8_t* blob, long n, int radius_cap, int32_t* out_
 // v. out_leaders receives GLOBAL frame indices, videos back to back;
 // out_counts[v] = leader count of video v. One call per corpus keeps the
 // ctypes boundary off the per-video path (1M videos = 1 call).
+//
+// Threaded: per-video clustering is independent, so phase 1 fans videos
+// over a pool (each video writes LOCAL leader indices into its own
+// frame-offset region of out_leaders — the caller sizes it at one slot
+// per frame) and a serial phase 2 compacts the regions into the packed
+// layout and globalizes the indices (write cursor w <= read cursor f0
+// always, so in-place is safe). Results are bit-identical for any
+// thread count. HVD_CLUSTER_THREADS overrides the pool size.
 void hvd_cluster_reps_batch(const uint8_t* blob, const int64_t* offsets, long n_videos,
                             int radius_cap, int32_t* out_leaders, int32_t* out_counts) {
+    long nthreads = (long)std::thread::hardware_concurrency();
+    if (const char* e = std::getenv("HVD_CLUSTER_THREADS")) nthreads = std::atol(e);
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > n_videos) nthreads = n_videos ? n_videos : 1;
+
+    std::atomic<long> next{0};
+    const long GRAIN = 256;
+    auto worker = [&]() {
+        for (;;) {
+            long v0 = next.fetch_add(GRAIN);
+            if (v0 >= n_videos) return;
+            long v1 = std::min(n_videos, v0 + GRAIN);
+            for (long v = v0; v < v1; v++) {
+                long f0 = offsets[v], f1 = offsets[v + 1];
+                out_counts[v] = (int32_t)hvd_cluster_reps(
+                    blob + f0 * PDQ_BYTES_PER_HASH, f1 - f0, radius_cap,
+                    out_leaders + f0);
+            }
+        }
+    };
+    if (nthreads <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> pool;
+        pool.reserve((size_t)nthreads);
+        for (long t = 0; t < nthreads; t++) pool.emplace_back(worker);
+        for (auto& th : pool) th.join();
+    }
+
     long w = 0;
     for (long v = 0; v < n_videos; v++) {
-        long f0 = offsets[v], f1 = offsets[v + 1];
-        long k = hvd_cluster_reps(blob + f0 * PDQ_BYTES_PER_HASH, f1 - f0, radius_cap,
-                                  out_leaders + w);
-        for (long c = 0; c < k; c++) out_leaders[w + c] += (int32_t)f0;
-        out_counts[v] = (int32_t)k;
+        long f0 = offsets[v];
+        long k = out_counts[v];
+        for (long c = 0; c < k; c++)
+            out_leaders[w + c] = out_leaders[f0 + c] + (int32_t)f0;
         w += k;
     }
 }

@@ -95,6 +95,28 @@ def test_cluster_invariant_and_native_numpy_parity(rng):
             assert counts[0] == len(idx_np)
 
 
+def test_cluster_batch_threaded_equals_serial(rng, monkeypatch):
+    """hvd_cluster_reps_batch fans videos over a thread pool; output must
+    be bit-identical for any thread count (per-video independence +
+    deterministic serial compaction)."""
+    if not native.is_available():
+        pytest.skip("native lib unavailable")
+    cap = 24
+    counts = rng.integers(1, 40, 500)
+    offsets = np.zeros(501, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    frames = rng.integers(0, 256, (int(offsets[-1]), 32), dtype=np.uint8)
+    for v in range(0, 500, 3):  # compressible videos
+        f0, f1 = int(offsets[v]), int(offsets[v + 1])
+        frames[f0:f1] = frames[f0]
+    monkeypatch.setenv("HVD_CLUSTER_THREADS", "1")
+    l1, c1 = native.cluster_reps_batch(frames, offsets, cap)
+    monkeypatch.setenv("HVD_CLUSTER_THREADS", "7")
+    l7, c7 = native.cluster_reps_batch(frames, offsets, cap)
+    assert np.array_equal(l1, l7)
+    assert np.array_equal(c1, c7)
+
+
 def test_extract_reps_shapes(rng):
     v = _scene_video(rng, 2, 6)
     blobs = [v.tobytes(), b"", v[:1].tobytes()]
