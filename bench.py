@@ -33,6 +33,38 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _probe_devices(timeout_s: float):
+    """First device contact, bounded.
+
+    Through a DOWN axon tunnel the first jax.devices() call hangs ~30
+    minutes in backend init before failing (it did exactly that to
+    BENCH_r03); through a merely degraded one it can take 45-360 s. A
+    daemon-thread probe with a hard budget turns the dead-tunnel case
+    into a fast, explicit failure (same pattern as the hash-backend
+    probe in dedup.py and dryrun_multichip)."""
+    import threading
+
+    out: dict = {}
+
+    def probe():
+        try:
+            out["devices"] = jax.devices()
+        except Exception as exc:  # noqa: BLE001 - report any backend failure
+            out["err"] = exc
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" in out:
+        return out["devices"]
+    if "err" in out:
+        raise SystemExit(f"bench: no usable jax backend: {out['err']!r}")
+    raise SystemExit(
+        f"bench: device tunnel unreachable (jax.devices() exceeded "
+        f"{timeout_s:.0f}s probe budget) - failing fast instead of hanging"
+    )
+
+
 def main() -> None:
     import os
 
@@ -40,8 +72,10 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    platform = jax.devices()[0].platform
-    log(f"device: {jax.devices()[0]} ({platform})")
+    probe_budget = float(os.environ.get("HVD_BENCH_PROBE_TIMEOUT_S", "420"))
+    devices = _probe_devices(probe_budget)
+    platform = devices[0].platform
+    log(f"device: {devices[0]} ({platform})")
 
     from hydrus_video_deduplicator_tpu.models import pdq as mpdq
 

@@ -152,8 +152,16 @@ class DedupeDb:
     def init_connection(self) -> None:
         self.conn = sqlite3.connect(self.db_dir / self.db_name)
         self.cur = self.conn.cursor()
-        self.ensure_indices()  # one-time for reference-created DBs
-        self.conn.commit()
+        # One-time for reference-created DBs. Tolerate read-only files
+        # (ADVICE r3 #3): the index is a perf fix, not a correctness
+        # requirement, so opening must not fail on read-only media.
+        try:
+            self.ensure_indices()
+            self.conn.commit()
+        except sqlite3.OperationalError as exc:
+            log.warning(
+                "could not create indices on open (read-only database?): %s", exc
+            )
 
     def execute(self, query: str, *args) -> sqlite3.Cursor:
         return self.cur.execute(query, *args)
@@ -209,6 +217,21 @@ class DedupeDb:
         """Idempotent; also run on open so databases created by the
         reference tool (or older builds) gain the indices one-time."""
         if self.does_table_exist("shape_perceptual_hash_map"):
+            missing = not self.execute(
+                "SELECT name FROM sqlite_master WHERE type='index'"
+                " AND name='shape_perceptual_hash_map_hash_id_index'"
+            ).fetchone()
+            if missing:
+                n = self.execute(
+                    "SELECT COUNT(*) FROM shape_perceptual_hash_map"
+                ).fetchone()[0]
+                if n > 100_000:
+                    # a one-time CREATE INDEX on ~1M rows can take a while;
+                    # say so instead of appearing hung at open (ADVICE r3 #3)
+                    log.info(
+                        "building one-time hash_id index over %d rows"
+                        " (speeds up search/stage 2; may take a minute)...", n,
+                    )
             for stmt in self._INDICES:
                 self.execute(stmt)
 

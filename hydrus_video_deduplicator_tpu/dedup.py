@@ -655,6 +655,11 @@ class HydrusVideoDeduplicator:
                 unit="file",
                 colour="BLUE",
             ) as pbar:
+                # adaptive batch size: skip/interrupt is only checked
+                # between batches, so batches target a few seconds of
+                # wall each (ADVICE r3 #4) — start small, grow toward
+                # QUEUE_DRAIN_BATCH while batches stay fast
+                batch = min(self.QUEUE_DRAIN_BATCH, 4096)
                 while done < n_queued:
                     if self.update_progress_callback:
                         self.update_progress_callback(
@@ -662,12 +667,18 @@ class HydrusVideoDeduplicator:
                         )
                     if self.should_skip_step_fn and self.should_skip_step_fn():
                         return
-                    n = self.db.drain_phashed_queue_batch(self.QUEUE_DRAIN_BATCH)
+                    t0 = time.monotonic()
+                    n = self.db.drain_phashed_queue_batch(batch)
                     if n == 0:
                         break
                     done += n
                     self.db.commit()
                     pbar.update(n)
+                    dt = time.monotonic() - t0
+                    if dt < 1.0:
+                        batch = min(batch * 2, self.QUEUE_DRAIN_BATCH)
+                    elif dt > 4.0:
+                        batch = max(batch // 2, 1024)
                 if self.update_progress_callback:
                     self.update_progress_callback(
                         BuildingSearchTreeProgress(complete=n_queued, total=n_queued)

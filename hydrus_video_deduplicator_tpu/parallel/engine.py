@@ -660,8 +660,12 @@ class TpuSearchEngine:
         )
         seg_rows = list(zip(seg_row_idx, row_reps))
 
+        # The rep cache is only valid for the radius_cap it was built at:
+        # sweeping at prune_tolerance(small_cap) against reps clustered at
+        # a larger cap breaks the triangle-inequality bound and would
+        # silently drop true pairs. Rebuild on mismatch (ADVICE r3 #1).
         seg_cols = prune_state.get("rep_cols")
-        if seg_cols is None:
+        if seg_cols is None or prune_state.get("rep_cols_radius_cap") != radius_cap:
             seg_col_idx = [
                 j for j, b in enumerate(all_phashes)
                 if 1 <= n_frames(b) <= seg.SEG_MAX_FRAMES
@@ -670,6 +674,9 @@ class TpuSearchEngine:
                 [all_phashes[j] for j in seg_col_idx], radius_cap
             )
             seg_cols = prune_state["rep_cols"] = list(zip(seg_col_idx, col_reps))
+            prune_state["rep_cols_radius_cap"] = radius_cap
+            # the packed device staging of the old reps is stale too
+            prune_state.pop("seg_scan_cols", None)
 
         tol_prune = reps_mod.prune_tolerance(radius_cap)
         # mask-emitting kernels: the hit bitmask packs in the kernel

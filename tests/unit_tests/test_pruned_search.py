@@ -366,6 +366,34 @@ def test_pruned_col_limit_and_state_reuse(rng):
     assert got == ref
 
 
+def test_pruned_radius_cap_cache_invalidation(rng):
+    """Reps cached at one radius_cap must NOT serve a sweep at a smaller
+    cap: the smaller cap's tolerance (31 + 2*cap) no longer covers the
+    larger clustering radius, so the triangle bound breaks and true pairs
+    vanish silently (ADVICE r3 #1). The boundary construction makes the
+    miss deterministic: leader distance exactly 79 = tol(24) > tol(8)."""
+    from hydrus_video_deduplicator_tpu.parallel.engine import TpuSearchEngine
+
+    used: set = set()
+    c_a = rng.integers(0, 256, 32, dtype=np.uint8)
+    a = _flip(rng, c_a, 24, used)  # d(c_a, a) = 24: one leader at cap 24
+    b = _flip(rng, a, 31, used)  # the true frame match
+    c_b = _flip(rng, b, 24, used)  # d(c_a, c_b) = 79 exactly
+    blobs = [np.stack([c_a, a]).tobytes(), np.stack([c_b, b]).tobytes()]
+    eng = TpuSearchEngine(force_segments=True)
+    state: dict = {}
+    ref = sorted(
+        eng.find_pairs_pruned(blobs, blobs, 1, col_state=state, radius_cap=24)
+    )
+    assert (0, 1, 50) in ref
+    # same state, smaller cap: the cached cap-24 reps must be rebuilt
+    got = sorted(
+        eng.find_pairs_pruned(blobs, blobs, 1, col_state=state, radius_cap=8)
+    )
+    assert got == ref
+    assert state["prune"]["rep_cols_radius_cap"] == 8
+
+
 def test_prefilter_auto_policy(rng):
     """auto prunes scene corpora (compressible) and declines random
     few-scene-structure corpora; forced modes override; state is seeded."""
