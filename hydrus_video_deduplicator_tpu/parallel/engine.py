@@ -167,13 +167,17 @@ def _scan_sweep_body(
 ):
     """lax.scan the segment kernel over stacked column tiles, compacting
     hits ON DEVICE: per column tile, the true hit count plus a bitmask of
-    hit positions (uint32 words, bit j of word w = column w*32+j). One
-    dispatch covers every column tile for a row tile — per-tile-pair
-    dispatch/fetch round trips were the dominant cost of the old
-    host-driven loop off-chip, and ~2x the kernel time even on a local
-    TPU VM. The bitmask costs ~0.5 ms/step of VPU work; a
-    jnp.nonzero(size=K) compaction was measured 20x slower (sort-based
-    lowering over the 1M-entry tile) and needed an overflow fallback.
+    hit positions. Bits pack across ROW slots (bit b of word [w, c] = row
+    slot w*32+b, column slot c) so the mask's minor dim is the 2048-wide
+    column-slot axis: a column-packed [rows, cols/32=64] u32 layout pads
+    its 64-lane minor dim 2x on TPU's (8,128) tiling, doubling mask HBM
+    and drain-copy traffic (VERDICT r3 item 1). One dispatch covers every
+    column tile for a row tile — per-tile-pair dispatch/fetch round trips
+    were the dominant cost of the old host-driven loop off-chip, and ~2x
+    the kernel time even on a local TPU VM. The bitmask costs ~0.5 ms/step
+    of VPU work; a jnp.nonzero(size=K) compaction was measured 20x slower
+    (sort-based lowering over the 1M-entry tile) and needed an overflow
+    fallback.
 
     valid [T] bool gates each column tile with a real branch (lax.cond):
     an invalid tile costs neither kernel nor bitmask work. Triangle-order
@@ -214,16 +218,20 @@ def _scan_sweep_body(
                 return cnt, out
             hit = out >= min_sim
             cnt = jnp.sum(hit, dtype=jnp.int32)
+            # row-packed, matching the mask kernels' layout (bit b of word
+            # [w, c] = row slot w*32+b): minor dim stays the 2048-wide
+            # column axis, so the u32 mask tiles without lane padding
             packed = (
-                hit.reshape(hit.shape[0], -1, 32).astype(jnp.uint32) * pow2
-            ).sum(-1, dtype=jnp.uint32)
+                hit.reshape(-1, 32, hit.shape[1]).astype(jnp.uint32)
+                * pow2[None, :, None]
+            ).sum(1, dtype=jnp.uint32)
             return cnt, packed
 
         def off(_):
             shape = (
                 sim_shape
                 if mask_kernel
-                else (sim_shape[0], sim_shape[1] // 32)
+                else (sim_shape[0] // 32, sim_shape[1])
             )
             return jnp.int32(0), jnp.zeros(shape, jnp.uint32)
 
@@ -231,7 +239,7 @@ def _scan_sweep_body(
         return carry, (cnt, packed)
 
     _, out = jax.lax.scan(step, 0, (cf, ci, cc, valid))
-    return out  # cnts [T], masks [T, rows, cols/32]
+    return out  # cnts [T], masks [T, rows/32, cols] (row-packed words)
 
 
 @functools.lru_cache(maxsize=16)
@@ -933,8 +941,9 @@ class TpuSearchEngine:
             cnts_list = tuple(g[2][0] for g in group)
             masks_list = tuple(g[2][1] for g in group)
             G = len(group)
+            # every route's masks are row-packed: [D, T, A=rows/32, B=cols]
             D, T, A, B = masks_list[0].shape
-            local_slots = A * 32 if mask_rows else A
+            local_slots = A * 32
             n0 = G * D * T
             while True:
                 budget = _SPARSE_DRAIN_BUDGETS[budget_rung[0]]
@@ -987,12 +996,8 @@ class TpuSearchEngine:
                     vals.view(np.uint8).reshape(-1, 4), axis=1, bitorder="little"
                 )  # [M, 32]
                 m_i, bit_i = np.nonzero(bitmat)
-                if mask_rows:
-                    rows_l = a_arr[m_i] * 32 + bit_i
-                    cols_l = b_arr[m_i]
-                else:
-                    rows_l = a_arr[m_i]
-                    cols_l = b_arr[m_i] * 32 + bit_i
+                rows_l = a_arr[m_i] * 32 + bit_i
+                cols_l = b_arr[m_i]
                 flat_tile = top_idx[k_arr[m_i]]
                 g_arr, dt = np.divmod(flat_tile, D * T)
                 d_arr, t_arr = np.divmod(dt, T)
@@ -1002,19 +1007,14 @@ class TpuSearchEngine:
                 parts = []
                 for g, d, t in np.argwhere(cnts > 0):
                     m = np.ascontiguousarray(np.asarray(masks_list[g][d, t]))
-                    if mask_rows:
-                        # row-packed words [blocks*MASK_WORDS, col_slots]:
-                        # bit b of word [w, c] = row slot w*32+b
-                        b3 = np.unpackbits(
-                            m.view(np.uint8).reshape(A, B, 4),
-                            axis=2,
-                            bitorder="little",
-                        )  # [A, B, 32]
-                        bits = np.moveaxis(b3, 2, 1).reshape(A * 32, B)
-                    else:
-                        bits = np.unpackbits(
-                            m.view(np.uint8), axis=-1, bitorder="little"
-                        )
+                    # row-packed words [rows/32, col_slots]: bit b of word
+                    # [w, c] = row slot w*32+b
+                    b3 = np.unpackbits(
+                        m.view(np.uint8).reshape(A, B, 4),
+                        axis=2,
+                        bitorder="little",
+                    )  # [A, B, 32]
+                    bits = np.moveaxis(b3, 2, 1).reshape(A * 32, B)
                     r_i, c_i = np.nonzero(bits)
                     parts.append((
                         np.full(len(r_i), g), np.full(len(r_i), d),
@@ -1044,10 +1044,11 @@ class TpuSearchEngine:
             )
             inflight.append((rmap, rn, sweep(*row_args, cf, ci, cc, valid, min_sim_dev)))
             if group_n is None:
-                # bound in-flight mask HBM: 2*group_n padded masks must fit
-                # DRAIN_HBM_BUDGET_MB (trailing word dims < 128 lanes pad 2x)
+                # bound in-flight mask HBM: 2*group_n masks must fit
+                # DRAIN_HBM_BUDGET_MB (row-packed masks have a 2048-lane
+                # minor dim, so they tile without padding)
                 msh = inflight[0][2][1].shape
-                mask_mb = 2 * 4 * int(np.prod(msh)) / 1e6
+                mask_mb = 4 * int(np.prod(msh)) / 1e6
                 group_n = max(
                     1,
                     min(
@@ -1144,9 +1145,9 @@ class TpuSearchEngine:
     DRAIN_GROUP = 8
 
     #: HBM held by in-flight sweep mask results (MB): at 10M-video column
-    #: widths a single row tile's mask is ~1 GB (x2 lane padding), so the
-    #: 2*DRAIN_GROUP in-flight default would alone exceed a v5e's 16 GB.
-    #: The route shrinks the group so 2*group_n padded masks fit this.
+    #: widths a single row tile's row-packed mask is ~0.5 GB, so the
+    #: 2*DRAIN_GROUP in-flight default would strain a v5e's 16 GB.
+    #: The route shrinks the group so 2*group_n masks fit this.
     DRAIN_HBM_BUDGET_MB = 8192
 
     #: column-side ±1 expansion budget (bytes of HBM): above it the
