@@ -787,7 +787,23 @@ class TpuSearchEngine:
                 else seg.similarity_segments_xla
             )
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
-        row_blocks_per_tile = max(seg.TILE_ROW_BLOCKS, n_dev)
+        # Row blocks per dispatch: every row tile costs one dispatch + one
+        # drain fetch, and through a remote transport each round trip is
+        # ~27 ms — at corpus scale (1M mean-71 reps = ~6.5k row blocks)
+        # 2-block tiles spend ~88 s in RTTs alone. 8 blocks per tile on
+        # TPU cuts dispatch count 4x; padding blocks hold only zero rows
+        # (slot id -1) that can never match. CPU keeps the small tile so
+        # the virtual-mesh test suite doesn't pay 4x padding compute.
+        base_blocks = (
+            int(os.environ.get("HVD_ROW_BLOCKS_PER_TILE", "0"))
+            or (
+                self.ROW_BLOCKS_PER_TILE_TPU
+                if jax.devices()[0].platform == "tpu"
+                else seg.TILE_ROW_BLOCKS
+            )
+        )
+        row_blocks_per_tile = max(base_blocks, n_dev)
+        row_blocks_per_tile = ((row_blocks_per_tile + n_dev - 1) // n_dev) * n_dev
 
         row_blocks = seg.pack_blocks(seg_rows, seg.ROW_FRAMES, seg.ROW_SLOTS)
         chunks_per_tile = seg.TILE_COL_STEPS * seg.N_SPLIT
@@ -1143,6 +1159,11 @@ class TpuSearchEngine:
     #: route keeps 2x this many sweep results in flight (HBM held by mask
     #: results: 2 * DRAIN_GROUP * ~134 MB at 1M-video column width)
     DRAIN_GROUP = 8
+
+    #: row blocks per dispatch on TPU (see _segment_route): amortizes the
+    #: per-row-tile dispatch/fetch round trip over 4x more rows. Override
+    #: with HVD_ROW_BLOCKS_PER_TILE for A/B runs.
+    ROW_BLOCKS_PER_TILE_TPU = 8
 
     #: HBM held by in-flight sweep mask results (MB): at 10M-video column
     #: widths a single row tile's row-packed mask is ~0.5 GB, so the

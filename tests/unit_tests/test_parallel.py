@@ -275,3 +275,20 @@ def test_hasher_device_failure_releases_decode_workers(rng):
         _time.sleep(0.05)
     assert threading.active_count() <= before, "decode workers leaked"
     assert calls["n"] == 1
+
+
+def test_wide_row_tiles_match_default(rng, monkeypatch):
+    """HVD_ROW_BLOCKS_PER_TILE (the TPU dispatch-amortization default of 8
+    row blocks per sweep dispatch) must not change results: padding blocks
+    hold only zero rows, which can never Hamming-match."""
+    from hydrus_video_deduplicator_tpu.parallel.engine import TpuSearchEngine
+
+    vids = _corpus(rng, 60)
+    base = TpuSearchEngine(force_segments=True).find_pairs(vids, vids, 75)
+    monkeypatch.setenv("HVD_ROW_BLOCKS_PER_TILE", "8")
+    wide = TpuSearchEngine(force_segments=True).find_pairs(vids, vids, 75)
+    assert sorted(base) == sorted(wide)
+    wide_pruned = TpuSearchEngine(force_segments=True).find_pairs_pruned(
+        vids, vids, 75
+    )
+    assert sorted(base) == sorted(wide_pruned)
