@@ -780,18 +780,28 @@ class HydrusVideoDeduplicator:
         """
         if self.search_prefilter == "none":
             return False
+        import numpy as np
+
         from .ops import reps as reps_mod
         from .ops import similarity_segments as seg
+        from .parallel.engine import blob_frame_counts, iter_blob_items
 
-        eligible = [
-            (j, b)
-            for j, b in enumerate(all_phashes)
-            if 0 < len(b) // 32 <= seg.SEG_MAX_FRAMES
-        ]
-        rep_blobs = reps_mod.extract_reps([b for _, b in eligible])
-        rep_cols = [(j, rb) for (j, _b), rb in zip(eligible, rep_blobs)]
+        counts = blob_frame_counts(all_phashes)
+        eligible_idx = np.nonzero(
+            (counts > 0) & (counts <= seg.SEG_MAX_FRAMES)
+        )[0]
+        # cluster in slabs so only one slab of blobs is resident at a time
+        # (all_phashes may be a DB-backed column at corpus scale)
+        rep_blobs: list[bytes] = []
+        slab = 1 << 18
+        for s0 in range(0, len(eligible_idx), slab):
+            sl = eligible_idx[s0 : s0 + slab]
+            rep_blobs.extend(
+                reps_mod.extract_reps([b for _, b in iter_blob_items(all_phashes, sl)])
+            )
+        rep_cols = list(zip(eligible_idx.tolist(), rep_blobs))
         if self.search_prefilter != "reps":  # auto
-            total_frames = sum(len(b) // 32 for _, b in eligible)
+            total_frames = int(counts[eligible_idx].sum())
             total_reps = sum(len(rb) // 32 for rb in rep_blobs)
             if total_reps > self.PREFILTER_MAX_REP_FRACTION * total_frames:
                 log.info(
@@ -801,7 +811,11 @@ class HydrusVideoDeduplicator:
                     total_frames,
                 )
                 return False
-        col_state.setdefault("prune", {})["rep_cols"] = rep_cols
+        prune_state = col_state.setdefault("prune", {})
+        prune_state["rep_cols"] = rep_cols
+        # stamp the cap the seeded reps were clustered at, or the engine's
+        # cache-validity check (ADVICE r3 #1) discards them and re-clusters
+        prune_state["rep_cols_radius_cap"] = reps_mod.RADIUS_CAP
         return True
 
     def find_potential_duplicates(self) -> int:
@@ -911,18 +925,46 @@ class HydrusVideoDeduplicator:
         # full-corpus run does ~half the square's work. Counting weights
         # below keep the reported pair count identical to the reference's
         # both-directions-then-halve accounting.
-        corpus = self.db.execute(
-            "SELECT m.hash_id, p.phash FROM shape_perceptual_hash_map m"
-            " JOIN shape_perceptual_hashes p ON p.phash_id = m.phash_id"
-        ).fetchall()
-        phash_of = {r[0]: bytes(r[1]) for r in corpus}
-        row_set = set(files)
-        searched_ids = [r[0] for r in corpus if r[0] not in row_set]
-        row_ids = [h for h in files if h in phash_of]
+        #
+        # Only (hash_id, LENGTH) metadata is fetched up front; blob bytes
+        # stream from SQLite through DbBlobColumn so host RAM stays
+        # bounded by chunk, not corpus (a 10M-video library's blobs are
+        # tens of GB).
+        import numpy as np
+
+        from .db.blobs import DbBlobColumn, fetch_blobs
+
+        meta = np.fromiter(
+            self.db.execute(
+                "SELECT m.hash_id, LENGTH(p.phash)"
+                " FROM shape_perceptual_hash_map m"
+                " JOIN shape_perceptual_hashes p ON p.phash_id = m.phash_id"
+            ),
+            dtype=np.dtype([("id", np.int64), ("len", np.int64)]),
+        )
+        files_arr = np.asarray(files, dtype=np.int64)
+        in_rows = np.isin(meta["id"], files_arr)
+        searched_ids = meta["id"][~in_rows]  # corpus iteration order
+        searched_lens = meta["len"][~in_rows]
+        # row files in `files` order, restricted to mapped hashes
+        order = np.argsort(meta["id"], kind="stable")
+        sorted_ids = meta["id"][order]
+        pos = np.searchsorted(sorted_ids, files_arr)
+        pos_c = np.minimum(pos, max(len(sorted_ids) - 1, 0))
+        present = (
+            (pos < len(sorted_ids)) & (sorted_ids[pos_c] == files_arr)
+            if len(sorted_ids)
+            else np.zeros(len(files_arr), dtype=bool)
+        )
+        row_ids = files_arr[present]
+        row_lens = meta["len"][order][pos_c[present]]
         n_searched = len(searched_ids)
-        all_ids = searched_ids + row_ids
-        all_phashes = [phash_of[h] for h in all_ids]
-        row_phashes = [phash_of[h] for h in row_ids]
+        all_ids = np.concatenate([searched_ids, row_ids])
+        all_phashes = DbBlobColumn(
+            self.db,
+            all_ids,
+            np.concatenate([searched_lens, row_lens]) // 32,
+        )
 
         if self.update_progress_callback:
             self.update_progress_callback(
@@ -942,7 +984,7 @@ class HydrusVideoDeduplicator:
         rejected: set[tuple[int, int]] = set()
         pending: list[dict] = []
         col_state: dict = {}
-        pos_in_rows = {h: i for i, h in enumerate(row_ids)}
+        row_id_set = set(row_ids.tolist())
 
         def post_pending():
             if pending:
@@ -975,7 +1017,7 @@ class HydrusVideoDeduplicator:
                         post_pending()
                         return False
                     hash_a = chunk_row_ids[r]
-                    hash_b = all_ids[c]
+                    hash_b = int(all_ids[c])
                     if hash_a == hash_b:
                         pbar.update(1)
                         continue
@@ -1031,8 +1073,10 @@ class HydrusVideoDeduplicator:
                 chunk_files = files[k0 : k0 + chunk_rows]
                 if self.should_skip_step_fn and self.should_skip_step_fn():
                     return num_similar_pairs // 2
-                chunk_row_ids = [h for h in chunk_files if h in pos_in_rows]
-                chunk_phashes = [row_phashes[pos_in_rows[h]] for h in chunk_row_ids]
+                chunk_row_ids = [h for h in chunk_files if h in row_id_set]
+                # one batched SQL fetch per chunk — row blobs live only for
+                # the chunk being searched
+                chunk_phashes = fetch_blobs(self.db, chunk_row_ids)
                 # triangle sweep: this chunk compares against the corpus
                 # prefix ending at its own last row
                 chunk_rows_start_pos = n_searched + rows_done
@@ -1041,7 +1085,7 @@ class HydrusVideoDeduplicator:
                 def on_progress(done: int, total: int) -> None:
                     frac = done / total if total else 1.0
                     n_done = rows_done + int(len(chunk_row_ids) * min(frac, 1.0))
-                    pct = int(100 * n_done / len(row_ids)) if row_ids else 100
+                    pct = int(100 * n_done / len(row_ids)) if len(row_ids) else 100
                     search_bar.n = min(pct, 100)
                     search_bar.refresh()
                     if self.update_progress_callback:
@@ -1077,7 +1121,7 @@ class HydrusVideoDeduplicator:
                         self.db.commit()
                 self.db.commit()  # checkpoint: this chunk survives interrupts
                 rows_done += len(chunk_row_ids)
-                search_bar.n = int(100 * rows_done / len(row_ids)) if row_ids else 100
+                search_bar.n = int(100 * rows_done / len(row_ids)) if len(row_ids) else 100
                 search_bar.refresh()
             search_bar.n = 100
             search_bar.refresh()

@@ -545,6 +545,41 @@ def blob_to_pm1(blob: bytes) -> np.ndarray:
     return unpack_pm1_host(packed, np.asarray([n]))
 
 
+def plan_chunks(
+    counts: np.ndarray, frames_per_block: int, slots_per_block: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Next-fit packing plan from frame counts alone (no blob bytes).
+
+    Returns (chunk_id [n] int64, slot_id [n] int32, frame_off [n] int64,
+    n_chunks) with boundaries identical to pack_blocks: a chunk closes
+    when the next video exceeds its remaining frames or slots. Separating
+    the plan (metadata) from the fill (bytes) lets corpus-scale callers
+    stream blobs through a bounded staging buffer instead of holding the
+    packed corpus on the host. The loop is plain Python (~0.7 s per
+    million videos) — run once per sweep via col_state.
+    """
+    n = len(counts)
+    chunk_id = np.empty(n, dtype=np.int64)
+    slot_id = np.empty(n, dtype=np.int32)
+    frame_off = np.empty(n, dtype=np.int64)
+    c = 0
+    used_f = 0
+    used_s = 0
+    for k in range(n):
+        nf = int(counts[k])
+        assert 1 <= nf <= frames_per_block, (k, nf)
+        if used_s and (used_f + nf > frames_per_block or used_s >= slots_per_block):
+            c += 1
+            used_f = 0
+            used_s = 0
+        chunk_id[k] = c
+        slot_id[k] = used_s
+        frame_off[k] = used_f
+        used_f += nf
+        used_s += 1
+    return chunk_id, slot_id, frame_off, (c + 1 if n else 0)
+
+
 def pack_blocks(
     items: "list[tuple[int, bytes]]", frames_per_block: int, slots_per_block: int
 ) -> list[PackedBlock]:

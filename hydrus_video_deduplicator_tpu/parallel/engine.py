@@ -80,47 +80,111 @@ def _tile_videos(nominal: int, frame_budget: int, pad: int) -> int:
     return max(1, min(nominal, frame_budget // pad))
 
 
+def iter_blob_items(src, indices):
+    """(index, blob) stream over a blob source for the given indices.
+
+    Sources that implement ``iter_many`` (DB-backed columns) stream in
+    batches; plain sequences fall back to per-item indexing."""
+    if hasattr(src, "iter_many"):
+        return src.iter_many(indices)
+    return ((int(i), src[int(i)]) for i in indices)
+
+
+def blob_frame_counts(src) -> np.ndarray:
+    """Per-video frame counts without holding blob bytes.
+
+    DB-backed sources expose ``blob_n_frames`` (one LENGTH() scan, no blob
+    fetch); plain sequences derive counts from the resident bytes."""
+    if hasattr(src, "blob_n_frames"):
+        return np.asarray(src.blob_n_frames, dtype=np.int64)
+    return np.fromiter((len(b) // BYTES for b in src), dtype=np.int64, count=len(src))
+
+
+#: next power of two for every legal bucketed frame count (1..MAX_BUCKET)
+_POW2_TABLE = np.asarray(
+    [_bucket_size(max(n, 1)) for n in range(MAX_BUCKET + 1)], dtype=np.int64
+)
+
+
 @dataclass
 class _Bucket:
     pad: int
-    video_idx: list[int] = field(default_factory=list)  # corpus indices
-    frames: list[np.ndarray] = field(default_factory=list)  # [pad, 8] u32 each
-    counts: list[int] = field(default_factory=list)
+    video_idx: np.ndarray  # int64 corpus indices (ascending)
+    counts: np.ndarray  # int32 frame counts, aligned with video_idx
 
 
 class CorpusIndex:
     """Host-side index: corpus of packed video hashes, bucketed by length.
 
-    Videos with more than MAX_BUCKET frames are collected in ``long`` for
-    exact host-side comparison instead of bucketing (no truncation).
+    Construction touches only per-video frame COUNTS (one metadata pass);
+    a bucket's packed frame arrays materialize on demand in
+    ``bucket_arrays`` — at 10M-video corpus scale the old eager per-video
+    arrays alone held ~4.5 GB host RAM for buckets the segment route never
+    reads (VERDICT r3 item 3). Videos with more than MAX_BUCKET frames are
+    collected in ``long`` (with their blobs — rare) for exact host-side
+    comparison instead of bucketing (no truncation).
     """
 
-    def __init__(self, phashes: list[bytes]):
+    def __init__(self, phashes):
+        self.src = phashes
         self.n = len(phashes)
+        self.n_frames = blob_frame_counts(phashes) if self.n else np.zeros(0, np.int64)
         self.buckets: dict[int, _Bucket] = {}
-        self.long: list[tuple[int, bytes]] = []  # (corpus index, blob)
-        for i, blob in enumerate(phashes):
-            n_frames = len(blob) // BYTES
-            if n_frames == 0:
-                continue  # empty hashes match nothing (incl. themselves)
-            if n_frames > MAX_BUCKET:
-                self.long.append((i, blob))
-                continue
-            pad = _bucket_size(n_frames)
-            packed = np.zeros((pad, LANES), dtype=np.uint32)
-            packed[:n_frames] = ops_sim.blobs_to_packed(blob)
-            bucket = self.buckets.setdefault(pad, _Bucket(pad))
-            bucket.video_idx.append(i)
-            bucket.frames.append(packed)
-            bucket.counts.append(n_frames)
+        bucketable = (self.n_frames > 0) & (self.n_frames <= MAX_BUCKET)
+        pads = np.zeros(self.n, dtype=np.int64)
+        pads[bucketable] = _POW2_TABLE[self.n_frames[bucketable]]
+        for pad in np.unique(pads[bucketable]):
+            sel = np.nonzero(pads == pad)[0].astype(np.int64)
+            self.buckets[int(pad)] = _Bucket(
+                int(pad), sel, self.n_frames[sel].astype(np.int32)
+            )
+        # long videos keep their blobs resident (host-side exact compare)
+        self.long: list[tuple[int, bytes]] = list(
+            iter_blob_items(phashes, np.nonzero(self.n_frames > MAX_BUCKET)[0])
+        )
 
     def bucket_arrays(self, pad: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         b = self.buckets[pad]
-        return (
-            np.asarray(b.video_idx, dtype=np.int64),
-            np.stack(b.frames).astype(np.uint32),
-            np.asarray(b.counts, dtype=np.int32),
-        )
+        frames = np.zeros((len(b.video_idx), pad, LANES), dtype=np.uint32)
+        for k, (_i, blob) in enumerate(iter_blob_items(self.src, b.video_idx)):
+            n = len(blob) // BYTES
+            frames[k, :n] = ops_sim.blobs_to_packed(blob)
+        return b.video_idx, frames, b.counts
+
+
+class SegColumns:
+    """Column-side view of the segment-eligible corpus.
+
+    Indices and frame counts are resolved up front (metadata only); blob
+    bytes are STREAMED once by the staging fill (iter_items) and fetched
+    individually at hit-emission time (lookup). Keeping blobs out of the
+    view is what bounds host RAM at 10M-video column scale.
+    """
+
+    def __init__(self, indices: np.ndarray, counts: np.ndarray, src):
+        self.indices = np.asarray(indices, dtype=np.int64)
+        self.counts = np.asarray(counts, dtype=np.int32)
+        self.src = src
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def iter_items(self):
+        return iter_blob_items(self.src, self.indices)
+
+    def lookup(self, j: int) -> bytes:
+        return self.src[j]
+
+
+def seg_columns_from_pairs(pairs: "list[tuple[int, bytes]]") -> SegColumns:
+    """SegColumns over a materialized [(corpus_idx, blob)] list (the pruned
+    route's rep columns — reps are a small fraction of the corpus)."""
+    by = {int(i): b for i, b in pairs}
+    idx = np.fromiter((i for i, _ in pairs), dtype=np.int64, count=len(pairs))
+    cnt = np.fromiter(
+        (len(b) // BYTES for _, b in pairs), dtype=np.int32, count=len(pairs)
+    )
+    return SegColumns(idx, cnt, by)
 
 
 @functools.partial(jax.jit, static_argnames=("pa", "pb"))
@@ -422,6 +486,19 @@ def _sharded_segment_sweep_fn(mesh, kernel, cols_packed=False, mask_kernel=False
     )
 
 
+@functools.lru_cache(maxsize=4)
+def _col_fill_fn(mesh):
+    """Donated in-place group update of the device-resident column staging
+    (dynamic_update_slice at a TRACED tile offset, so one compile covers
+    every group flush of a streaming column upload)."""
+
+    def fill(buf, grp, t0):
+        idx = (t0,) + (jnp.int32(0),) * (buf.ndim - 1)
+        return jax.lax.dynamic_update_slice(buf, grp, idx)
+
+    return jax.jit(fill, donate_argnums=0)
+
+
 def _pad_rows(arr: np.ndarray, to: int) -> np.ndarray:
     if arr.shape[0] == to:
         return arr
@@ -493,10 +570,10 @@ class TpuSearchEngine:
         from ..ops import similarity_segments as seg
 
         row_frames = sum(
-            sum(b.counts) for p, b in rows.buckets.items() if p <= seg.SEG_MAX_FRAMES
+            int(b.counts.sum()) for p, b in rows.buckets.items() if p <= seg.SEG_MAX_FRAMES
         )
         col_frames = sum(
-            sum(b.counts) for p, b in cols.buckets.items() if p <= seg.SEG_MAX_FRAMES
+            int(b.counts.sum()) for p, b in cols.buckets.items() if p <= seg.SEG_MAX_FRAMES
         )
         return (
             jax.devices()[0].platform == "tpu"
@@ -560,17 +637,18 @@ class TpuSearchEngine:
         use_segments = self._use_segments(rows, cols)
         if use_segments:
             seg_rows = [
-                (i, row_phashes[i])
+                (int(i), row_phashes[int(i)])
                 for p, b in sorted(rows.buckets.items())
                 if p <= seg.SEG_MAX_FRAMES
                 for i in b.video_idx
             ]
-            seg_cols = [
-                (j, all_phashes[j])
-                for p, b in sorted(cols.buckets.items())
-                if p <= seg.SEG_MAX_FRAMES
-                for j in b.video_idx
-            ]
+            seg_pads = sorted(p for p in cols.buckets if p <= seg.SEG_MAX_FRAMES)
+            seg_idx = (
+                np.concatenate([cols.buckets[p].video_idx for p in seg_pads])
+                if seg_pads
+                else np.zeros(0, np.int64)
+            )
+            seg_cols = SegColumns(seg_idx, cols.n_frames[seg_idx], cols.src)
             out.extend(
                 self._segment_route(
                     seg_rows, seg_cols, min_int_similarity, state, col_limit
@@ -579,12 +657,10 @@ class TpuSearchEngine:
 
         # column bucket arrays are stacked and device-placed ONCE per
         # (bucket, route) and reused across every row bucket — rebuilding
-        # them per row bucket re-uploads the whole corpus per bucket pair
-        col_arrays = state.get("col_arrays")
-        if col_arrays is None:
-            col_arrays = state["col_arrays"] = {
-                pb: cols.bucket_arrays(pb) for pb in cols.buckets
-            }
+        # them per row bucket re-uploads the whole corpus per bucket pair.
+        # They materialize lazily per bucket: segment-covered buckets (the
+        # whole corpus, at scale) never pay the packed-array host RAM.
+        col_arrays = state.setdefault("col_arrays", {})
         col_cache: dict = state.setdefault("col_cache", {})
         row_pm1_cache: dict = {}
         for pa, rb in rows.buckets.items():
@@ -596,6 +672,8 @@ class TpuSearchEngine:
                 ):
                     continue  # covered by the segment route
                 r_idx, r_frames, r_counts = rows.bucket_arrays(pa)
+                if pb not in col_arrays:
+                    col_arrays[pb] = cols.bucket_arrays(pb)
                 c_idx, c_frames, c_counts = col_arrays[pb]
                 work = len(r_idx) * len(c_idx) * pa * pb
                 fn = (
@@ -656,17 +734,18 @@ class TpuSearchEngine:
         state = col_state if col_state is not None else {}
         prune_state = state.setdefault("prune", {})
 
-        def n_frames(b: bytes) -> int:
-            return len(b) // BYTES
+        row_counts = blob_frame_counts(row_phashes)
+        col_counts = state.get("col_n_frames")
+        if col_counts is None:
+            col_counts = state["col_n_frames"] = blob_frame_counts(all_phashes)
 
-        seg_row_idx = [
-            i for i, b in enumerate(row_phashes)
-            if 1 <= n_frames(b) <= seg.SEG_MAX_FRAMES
-        ]
+        seg_row_idx = np.nonzero(
+            (row_counts >= 1) & (row_counts <= seg.SEG_MAX_FRAMES)
+        )[0]
         row_reps = reps_mod.extract_reps(
-            [row_phashes[i] for i in seg_row_idx], radius_cap
+            [b for _, b in iter_blob_items(row_phashes, seg_row_idx)], radius_cap
         )
-        seg_rows = list(zip(seg_row_idx, row_reps))
+        seg_rows = list(zip(seg_row_idx.tolist(), row_reps))
 
         # The rep cache is only valid for the radius_cap it was built at:
         # sweeping at prune_tolerance(small_cap) against reps clustered at
@@ -674,14 +753,24 @@ class TpuSearchEngine:
         # silently drop true pairs. Rebuild on mismatch (ADVICE r3 #1).
         seg_cols = prune_state.get("rep_cols")
         if seg_cols is None or prune_state.get("rep_cols_radius_cap") != radius_cap:
-            seg_col_idx = [
-                j for j, b in enumerate(all_phashes)
-                if 1 <= n_frames(b) <= seg.SEG_MAX_FRAMES
-            ]
-            col_reps = reps_mod.extract_reps(
-                [all_phashes[j] for j in seg_col_idx], radius_cap
+            seg_col_idx = np.nonzero(
+                (col_counts >= 1) & (col_counts <= seg.SEG_MAX_FRAMES)
+            )[0]
+            # cluster in slabs so only one slab of column blobs is ever
+            # resident (the reps kept are a small fraction of the frames)
+            col_reps: list[bytes] = []
+            slab = 1 << 18
+            for s0 in range(0, len(seg_col_idx), slab):
+                sl = seg_col_idx[s0 : s0 + slab]
+                col_reps.extend(
+                    reps_mod.extract_reps(
+                        [b for _, b in iter_blob_items(all_phashes, sl)],
+                        radius_cap,
+                    )
+                )
+            seg_cols = prune_state["rep_cols"] = list(
+                zip(seg_col_idx.tolist(), col_reps)
             )
-            seg_cols = prune_state["rep_cols"] = list(zip(seg_col_idx, col_reps))
             prune_state["rep_cols_radius_cap"] = radius_cap
             # the packed device staging of the old reps is stale too
             prune_state.pop("seg_scan_cols", None)
@@ -700,8 +789,8 @@ class TpuSearchEngine:
         self._progress_total = len(seg_rows) * len(seg_cols)
         self._progress_cb = progress
         candidates = self._segment_route(
-            seg_rows, seg_cols, 1, prune_state, col_limit,
-            kernel=kernel, with_sims=False, mask_rows=True,
+            seg_rows, seg_columns_from_pairs(seg_cols), 1, prune_state,
+            col_limit, kernel=kernel, with_sims=False, mask_rows=True,
             mask_tolerance=tol_prune,
         )
         out = pair_verify.verify_pairs(
@@ -711,15 +800,14 @@ class TpuSearchEngine:
         # Complement sweeps (unpruned find_pairs with the seg-eligible
         # side emptied — empty blobs match nothing): long rows x every
         # col, then seg rows x long cols. No overlap, no double count.
-        long_rows = {
-            i for i, b in enumerate(row_phashes) if n_frames(b) > seg.SEG_MAX_FRAMES
-        }
-        long_cols = {
-            j for j, b in enumerate(all_phashes) if n_frames(b) > seg.SEG_MAX_FRAMES
-        }
+        # Long videos are rare, so the masked column list is almost all
+        # references to one b"" — blob bytes are fetched only for longs.
+        long_rows = set(np.nonzero(row_counts > seg.SEG_MAX_FRAMES)[0].tolist())
+        long_cols = set(np.nonzero(col_counts > seg.SEG_MAX_FRAMES)[0].tolist())
         if long_rows:
             masked = [
-                b if i in long_rows else b"" for i, b in enumerate(row_phashes)
+                row_phashes[i] if i in long_rows else b""
+                for i in range(len(row_phashes))
             ]
             out.extend(
                 self.find_pairs(
@@ -730,11 +818,14 @@ class TpuSearchEngine:
             )
         if long_cols:
             masked_rows = [
-                b if (i not in long_rows and 1 <= n_frames(b)) else b""
-                for i, b in enumerate(row_phashes)
+                row_phashes[i]
+                if (i not in long_rows and row_counts[i] >= 1)
+                else b""
+                for i in range(len(row_phashes))
             ]
             masked_cols = [
-                b if j in long_cols else b"" for j, b in enumerate(all_phashes)
+                all_phashes[j] if j in long_cols else b""
+                for j in range(len(all_phashes))
             ]
             out.extend(
                 self.find_pairs(
@@ -811,34 +902,103 @@ class TpuSearchEngine:
 
         cols_stacked = None if state is None else state.get("seg_scan_cols")
         if cols_stacked is None:
-            col_chunks = seg.pack_blocks(seg_cols, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS)
             # tile count pads to the next power of two with empty
             # (validity-skipped) tiles: the scan length bakes into the
             # compiled program, so without padding every distinct corpus
             # size costs a fresh multi-minute XLA compile of the T-step
             # scan; padded, one compile covers the whole power-of-two range.
-            # The padded stacked staging arrays are preallocated and filled
-            # per tile — a list-then-np.stack doubles peak host RAM (GBs at
-            # 10M-video columns).
-            n_real = (len(col_chunks) + chunks_per_tile - 1) // chunks_per_tile
+            #
+            # The column corpus STREAMS to the device: the packing plan is
+            # computed from frame counts alone (seg.plan_chunks), then the
+            # blob stream fills a bounded host buffer of COL_FILL_GROUP
+            # tiles (~16 MB) that is flushed into a device-resident padded
+            # staging array with a donated dynamic_update_slice. Host RAM
+            # stays one group regardless of corpus size — the old
+            # whole-corpus padded staging held ~5 GB at 10M columns
+            # (VERDICT r3 item 3).
+            counts = seg_cols.counts
+            chunk_id, slot_id, frame_off, n_chunks = seg.plan_chunks(
+                counts, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS
+            )
+            n_real = (n_chunks + chunks_per_tile - 1) // chunks_per_tile
             n_pad = 1
             while n_pad < n_real:
                 n_pad <<= 1
-            pk_all = ids_all = cnt_all = smaps = None
-            for t, j0 in enumerate(range(0, len(col_chunks), chunks_per_tile)):
-                group = col_chunks[j0 : j0 + chunks_per_tile]
-                pk, slot_ids, cnt, smap = seg.stack_blocks(
-                    group, chunks_per_tile, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS
+            tile_frames = chunks_per_tile * seg.CHUNK_FRAMES
+            tile_slots = chunks_per_tile * seg.CHUNK_SLOTS
+            # per-slot metadata (small): true counts + corpus-index map
+            cnt_all = np.zeros((n_pad, tile_slots, 1), dtype=np.int32)
+            smaps = np.full((n_pad, tile_slots), -1, dtype=np.int64)
+            if len(counts):
+                flat_slot = chunk_id * seg.CHUNK_SLOTS + slot_id
+                cnt_all[flat_slot // tile_slots, flat_slot % tile_slots, 0] = counts
+                smaps[flat_slot // tile_slots, flat_slot % tile_slots] = (
+                    seg_cols.indices
                 )
-                if pk_all is None:
-                    pk_all = np.zeros((n_pad,) + pk.shape, pk.dtype)
-                    ids_all = np.full((n_pad,) + slot_ids.shape, -1, slot_ids.dtype)
-                    cnt_all = np.zeros((n_pad,) + cnt.shape, cnt.dtype)
-                    smaps = np.full((n_pad,) + smap.shape, -1, smap.dtype)
-                pk_all[t] = pk
-                ids_all[t] = slot_ids
-                cnt_all[t] = cnt
-                smaps[t] = smap
+            _lap("col plan")
+            pk_dev = self._device_fill((n_pad, tile_frames, LANES), jnp.uint32, 0)
+            ids_dev = self._device_fill((n_pad, tile_frames), jnp.int32, -1)
+            grp_n = min(n_pad, self.COL_FILL_GROUP)
+            pk_grp = np.zeros((grp_n, tile_frames, LANES), dtype=np.uint32)
+            ids_grp = np.full((grp_n, tile_frames), -1, dtype=np.int32)
+            fill = _col_fill_fn(self.mesh)
+            g0 = 0  # first tile of the in-progress group
+            dirty = False
+
+            def _flush(pk_dev, ids_dev):
+                # device_put can be ZERO-COPY (CPU backend aliases the
+                # numpy buffer), so the reused group buffers must be
+                # snapshotted — zeroing them in place after an aliasing
+                # put silently corrupts the staged tiles
+                pk_dev = fill(pk_dev, self._put_cols(pk_grp.copy()), np.int32(g0))
+                ids_dev = fill(ids_dev, self._put_cols(ids_grp.copy()), np.int32(g0))
+                pk_grp[:] = 0
+                ids_grp[:] = -1
+                return pk_dev, ids_dev
+
+            # chunk-batched fill: a chunk's videos are CONTIGUOUS (next
+            # video's frame_off = previous end), so each chunk packs with
+            # ONE blobs_to_packed over its joined bytes — a per-video pack
+            # measured ~+25 s/1M videos of pure call overhead
+            cur_chunk = -1
+            cur_blobs: list[bytes] = []
+            cur_slots: list[int] = []
+            cur_lens: list[int] = []
+
+            def _flush_chunk(pk_dev, ids_dev, dirty):
+                nonlocal g0, cur_blobs, cur_slots, cur_lens
+                if not cur_blobs:
+                    return pk_dev, ids_dev, dirty
+                t = cur_chunk // chunks_per_tile
+                while t >= g0 + grp_n:
+                    if dirty:
+                        pk_dev, ids_dev = _flush(pk_dev, ids_dev)
+                        dirty = False
+                    g0 += grp_n
+                row0 = (cur_chunk % chunks_per_tile) * seg.CHUNK_FRAMES
+                n_fill = sum(cur_lens)
+                pk_grp[t - g0, row0 : row0 + n_fill] = ops_sim.blobs_to_packed(
+                    b"".join(cur_blobs)
+                )
+                ids_grp[t - g0, row0 : row0 + n_fill] = np.repeat(
+                    np.asarray(cur_slots, dtype=np.int32),
+                    np.asarray(cur_lens, dtype=np.int64),
+                )
+                cur_blobs, cur_slots, cur_lens = [], [], []
+                return pk_dev, ids_dev, True
+
+            for k, (_j, blob) in enumerate(seg_cols.iter_items()):
+                c = int(chunk_id[k])
+                if c != cur_chunk:
+                    pk_dev, ids_dev, dirty = _flush_chunk(pk_dev, ids_dev, dirty)
+                    cur_chunk = c
+                cur_blobs.append(blob)
+                cur_slots.append(int(slot_id[k]))
+                cur_lens.append(int(counts[k]))
+            pk_dev, ids_dev, dirty = _flush_chunk(pk_dev, ids_dev, dirty)
+            if dirty:
+                pk_dev, ids_dev = _flush(pk_dev, ids_dev)
+            _lap("col stream+fill")
             # frames travel BIT-PACKED (8x less H2D). Default: expand to
             # the kernel's ±1 rows ON DEVICE, once — the pm1 expansion
             # lives in HBM across the whole sweep (and, via col_state,
@@ -846,17 +1006,16 @@ class TpuSearchEngine:
             # expansion would not fit HBM (10M-video column corpora are
             # ~20 GB of ±1 rows), the columns stay packed in HBM (8x
             # smaller) and each scan step expands its own tile.
-            pm1_bytes = n_pad * pk_all.shape[1] * BYTES * 8
+            pm1_bytes = n_pad * tile_frames * BYTES * 8
             cols_packed_mode = pm1_bytes > self.COL_PM1_HBM_BUDGET
-            ci_dev = self._put_cols(ids_all)
             if cols_packed_mode:
-                cf_dev = self._put_cols(pk_all)
+                cf_dev = pk_dev
             else:
-                cf_dev = self._unpack_cols(pk_all, ci_dev)
-            del pk_all, ids_all
+                cf_dev = seg.unpack_blocks_pm1_stacked(pk_dev, ids_dev)
+                del pk_dev  # the packed staging's HBM is released
             cols_stacked = (
                 cf_dev,
-                ci_dev,
+                ids_dev,
                 self._put_cols(cnt_all),
                 smaps,
                 int((smaps >= 0).sum()),
@@ -864,7 +1023,6 @@ class TpuSearchEngine:
             )
             if state is not None:
                 state["seg_scan_cols"] = cols_stacked
-            _lap("col pack+stack+upload enqueue")
             # force the column upload + device expansion to finish before
             # row dispatches start: a partially-streamed multi-GB H2D
             # otherwise head-of-line blocks every row-tile dispatch/fetch
@@ -917,7 +1075,7 @@ class TpuSearchEngine:
             )
         min_sim_dev = jnp.int32(min_sim)
         row_blob = dict(seg_rows)
-        col_blob = dict(seg_cols)
+        col_lookup = seg_cols.lookup
 
         out: list[tuple[int, int, int]] = []
         inflight: deque = deque()
@@ -940,7 +1098,7 @@ class TpuSearchEngine:
                     ia_arr[keep].tolist(), ib_arr[keep].tolist()
                 ):
                     out.append(
-                        (ia, ib, int(matchHashBytes(row_blob[ia], col_blob[ib])))
+                        (ia, ib, int(matchHashBytes(row_blob[ia], col_lookup(ib))))
                     )
             else:
                 # prune mode: candidate (row, col) pairs only — similarity
@@ -1160,10 +1318,18 @@ class TpuSearchEngine:
     #: results: 2 * DRAIN_GROUP * ~134 MB at 1M-video column width)
     DRAIN_GROUP = 8
 
-    #: row blocks per dispatch on TPU (see _segment_route): amortizes the
-    #: per-row-tile dispatch/fetch round trip over 4x more rows. Override
-    #: with HVD_ROW_BLOCKS_PER_TILE for A/B runs.
-    ROW_BLOCKS_PER_TILE_TPU = 8
+    #: row blocks per dispatch on TPU (see _segment_route). MEASURED at the
+    #: 1M mean-71 sweep (artifacts/sweep_scenes_1m_r04{a,b_rb8}.log):
+    #: 8 blocks/tile is NOT faster overall (743.5 s at 2 vs 784.8 s at 8) —
+    #: the in-flight queue already pipelines dispatch RTTs, and 4x bigger
+    #: in-flight masks (2x7x537 MB) push a 16 GB chip toward HBM-pressure
+    #: stalls on late triangle chunks (+56% at chunk 7). Override with
+    #: HVD_ROW_BLOCKS_PER_TILE to retune on larger-HBM parts.
+    ROW_BLOCKS_PER_TILE_TPU = 2
+
+    #: column tiles per streaming-fill flush (host buffer ~16 MB; one
+    #: donated device update per group — see _segment_route staging)
+    COL_FILL_GROUP = 32
 
     #: HBM held by in-flight sweep mask results (MB): at 10M-video column
     #: widths a single row tile's row-packed mask is ~0.5 GB, so the
@@ -1217,14 +1383,18 @@ class TpuSearchEngine:
 
         return jax.device_put(arr, NamedSharding(self.mesh, P()))
 
-    def _unpack_cols(self, packed_np: np.ndarray, ids_dev):
-        """Upload bit-packed column tiles (8x less H2D than ±1 rows) and
-        expand them to the kernel's ±1 int8 layout on device, tile by tile
-        (bounded temps). Replicated inputs keep the expansion replicated
+    def _device_fill(self, shape, dtype, value):
+        """Constant array allocated directly ON the device(s) — no host
+        staging copy (a 10M-column padded staging is ~5 GB); replicated
         under a mesh."""
-        from ..ops import similarity_segments as seg
+        if self.mesh is None:
+            return jnp.full(shape, value, dtype)
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        return seg.unpack_blocks_pm1_stacked(self._put_cols(packed_np), ids_dev)
+        return jax.jit(
+            lambda: jnp.full(shape, value, dtype),
+            out_shardings=NamedSharding(self.mesh, P()),
+        )()
 
     def _stream_tiles(self, row_blocks, col_tiles, compute, r_idx, c_idx, min_sim, col_limit=None):
         """Shared tile-streaming machinery for both engine routes: iterate

@@ -359,3 +359,58 @@ def test_batched_queue_drain_equals_per_row(tmp_path):
     assert drained == 60
     assert snap_a == snap_b
     assert snap_a["phashed_file_queue"] == []
+
+
+def test_db_blob_column_matches_fetchall(fresh_db):
+    """DbBlobColumn (the streaming corpus view bounding stage-4 host RAM)
+    must serve exactly the blobs a whole-corpus fetchall would, for random
+    access, batched iteration, and frame-count metadata."""
+    from hydrus_video_deduplicator_tpu.db.blobs import DbBlobColumn, fetch_blobs
+
+    rng = np.random.default_rng(5)
+    vids = {
+        f"{k:064x}": rng.integers(0, 256, (int(c), 32), dtype=np.uint8).tobytes()
+        for k, c in enumerate(rng.integers(1, 7, 40))
+    }
+    _insert_corpus(fresh_db, vids)
+    rows = fresh_db.execute(
+        "SELECT m.hash_id, p.phash FROM shape_perceptual_hash_map m"
+        " JOIN shape_perceptual_hashes p ON p.phash_id = m.phash_id"
+    ).fetchall()
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    blobs = [bytes(r[1]) for r in rows]
+    # reversed order exercises order preservation
+    order = np.arange(len(ids))[::-1].copy()
+    col = DbBlobColumn(
+        fresh_db, ids[order], np.asarray([len(b) // 32 for b in blobs])[order]
+    )
+    assert len(col) == len(ids)
+    assert [col[i] for i in range(len(col))] == [blobs[j] for j in order]
+    got = list(col.iter_many(np.arange(len(col))))
+    assert got == [(i, blobs[j]) for i, j in enumerate(order)]
+    assert (col.blob_n_frames == [len(blobs[j]) // 32 for j in order]).all()
+    assert fetch_blobs(fresh_db, ids[:3].tolist()) == blobs[:3]
+
+
+def test_plan_chunks_matches_pack_blocks():
+    """plan_chunks (metadata-only packing plan of the streaming column
+    staging) must place every video exactly where pack_blocks does."""
+    from hydrus_video_deduplicator_tpu.ops import similarity_segments as seg
+
+    rng = np.random.default_rng(6)
+    for trial in range(5):
+        counts = rng.integers(1, 513, int(rng.integers(1, 200)))
+        items = [
+            (int(i), bytes(32 * int(c))) for i, c in enumerate(counts)
+        ]
+        blocks = seg.pack_blocks(items, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS)
+        chunk_id, slot_id, frame_off, n_chunks = seg.plan_chunks(
+            counts, seg.CHUNK_FRAMES, seg.CHUNK_SLOTS
+        )
+        assert n_chunks == len(blocks)
+        for k in range(len(counts)):
+            blk = blocks[chunk_id[k]]
+            assert blk.slot_map[slot_id[k]] == k
+            assert blk.counts[slot_id[k], 0] == counts[k]
+            assert (blk.slot_ids[frame_off[k] : frame_off[k] + counts[k]]
+                    == slot_id[k]).all()
