@@ -50,10 +50,18 @@ def _enable_jax_compile_cache(db_dir: Path) -> None:
     existing user-configured cache dir.
     """
     try:
+        import os
+
         import jax
 
         if jax.config.jax_compilation_cache_dir is None:
-            jax.config.update("jax_compilation_cache_dir", str(db_dir / ".jax_cache"))
+            # HVD_JAX_CACHE_DIR shares one cache across databases (the
+            # acceptance suite uses it: each test's fresh tmp db dir would
+            # otherwise recompile every XLA/Mosaic program from cold)
+            cache_dir = os.environ.get("HVD_JAX_CACHE_DIR") or str(
+                db_dir / ".jax_cache"
+            )
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # jax absent or too old: CPU-only install, no cache
         pass
