@@ -543,8 +543,17 @@ class HydrusVideoDeduplicator:
         gc.collect()
         return stats
 
-    #: files fetched+hashed per device round in the TPU hashing path
+    #: files fetched+hashed per device round in the TPU hashing path.
+    #: TPU_HASH_CHUNK is the floor (and the conservative first-chunk size —
+    #: frames/file and bytes/file are unknown until something is hashed);
+    #: later chunks adapt to carry ~2 device batches of frames each, so a
+    #: short-video corpus doesn't pay a padded partial device flush per 16
+    #: files. The cap bounds files in flight, and the fetch-RAM cap bounds
+    #: the bytes a chunk may hold (2 chunks are resident at once: the one
+    #: hashing and the one prefetching).
     TPU_HASH_CHUNK = 16
+    TPU_HASH_CHUNK_MAX = 512
+    TPU_HASH_FETCH_RAM_CAP = 1 << 30
 
     def _add_perceptual_hashes_to_db_tpu(
         self, video_hashes: "Sequence[str]"
@@ -553,7 +562,6 @@ class HydrusVideoDeduplicator:
         pool, hash all their frames in shared device batches, then commit.
         Same failure/stat/commit semantics as the native path; CTRL+C
         checkpoints at chunk boundaries."""
-        from .dedup_util import batched
         from .models.vpdq import TpuVideoHasher
 
         stats = PerceptualHashingStats()
@@ -577,6 +585,21 @@ class HydrusVideoDeduplicator:
                     time.sleep(FileHasher.API_ERROR_BACKOFF_SECONDS)
             return fetched
 
+        # adaptive chunk sizing state: cumulative means over hashed files
+        n_seen_frames = [0, 0]  # [files, frames]
+        n_seen_bytes = [0, 0]  # [files, bytes]
+        target_frames = 2 * hasher.batch_size
+
+        def next_chunk_size() -> int:
+            if n_seen_frames[0] == 0:
+                return self.TPU_HASH_CHUNK
+            mean_frames = max(1.0, n_seen_frames[1] / n_seen_frames[0])
+            size = int(target_frames / mean_frames)
+            if n_seen_bytes[0]:
+                mean_bytes = max(1.0, n_seen_bytes[1] / n_seen_bytes[0])
+                size = min(size, int(self.TPU_HASH_FETCH_RAM_CAP / mean_bytes))
+            return max(self.TPU_HASH_CHUNK, min(size, self.TPU_HASH_CHUNK_MAX))
+
         try:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -587,11 +610,20 @@ class HydrusVideoDeduplicator:
                 unit="file",
                 colour="BLUE",
             ) as pbar, ThreadPoolExecutor(max_workers=1) as prefetcher:
-                chunks = list(batched(video_hashes, self.TPU_HASH_CHUNK))
                 # fetch chunk k+1 while chunk k decodes/hashes so the decode
                 # pool and the device never idle on network I/O
-                future = prefetcher.submit(fetch_chunk, chunks[0]) if chunks else None
-                for ci, chunk in enumerate(chunks):
+                pos = 0
+
+                def submit_next():
+                    nonlocal pos
+                    if pos >= len(video_hashes):
+                        return None, 0
+                    chunk = video_hashes[pos : pos + next_chunk_size()]
+                    pos += len(chunk)
+                    return prefetcher.submit(fetch_chunk, chunk), len(chunk)
+
+                future, chunk_len = submit_next()
+                while future is not None:
                     if self.should_skip_step_fn and self.should_skip_step_fn():
                         return stats
                     if self.update_progress_callback:
@@ -599,11 +631,9 @@ class HydrusVideoDeduplicator:
                             HashingProgress(complete=pbar.n, total=pbar.total)
                         )
                     fetched = future.result()
-                    future = (
-                        prefetcher.submit(fetch_chunk, chunks[ci + 1])
-                        if ci + 1 < len(chunks)
-                        else None
-                    )
+                    n_seen_bytes[0] += len(fetched)
+                    n_seen_bytes[1] += sum(len(b) for _, b in fetched)
+                    future_next, next_len = submit_next()
                     # decode + hash on device
                     for result in hasher.hash_videos(fetched):
                         if result.error is not None:
@@ -618,13 +648,16 @@ class HydrusVideoDeduplicator:
                                 result.key, result.phash.bytes
                             )
                             stats.success_hash_count += 1
+                            n_seen_frames[0] += 1
+                            n_seen_frames[1] += result.n_frames
                     self.db.commit()
                     gc.collect()
-                    pbar.update(len(chunk))
+                    pbar.update(chunk_len)
                     if self.update_progress_callback:
                         self.update_progress_callback(
                             HashingProgress(complete=pbar.n, total=pbar.total)
                         )
+                    future, chunk_len = future_next, next_len
         except KeyboardInterrupt:
             raise CancelledPerceptualHashException(stats)
         return stats

@@ -38,6 +38,12 @@ log = logging.getLogger("vpdq-tpu")
 #: buffer sizes.
 BATCH = 512
 BATCH_CPU = 16
+#: smallest padded batch shape for partial flushes. Padding travels H2D
+#: (786 KB/frame), so a partial final flush pads to the smallest
+#: power-of-two bucket >= its real frame count instead of the full batch —
+#: a 32-frame flush otherwise ships a 94%-zeros 403 MB batch. The ladder
+#: {32, 64, ..., BATCH} bounds the number of compiled shapes at 5.
+MIN_BUCKET = 32
 #: decode worker threads feeding the device
 DECODE_WORKERS = 4
 #: bounded buffer of decoded frames (backpressure, like the reference's
@@ -55,6 +61,9 @@ class VideoResult:
     key: object
     phash: VpdqHash | None
     error: Exception | None = None
+    #: frames decoded+hashed for this video (incl. quality-dropped frames —
+    #: they cost decode + H2D all the same); lets callers size work chunks
+    n_frames: int = 0
 
 
 def _hash_batch_fn(mesh=None):
@@ -135,6 +144,19 @@ class TpuVideoHasher:
         self.sampling = sampling
         self.mesh = mesh
         self._hash_batch = _hash_batch_fn(mesh)
+
+    def _pad_target(self, n: int) -> int:
+        """Padded shape for an n-frame flush: the smallest power-of-two
+        bucket >= n (from MIN_BUCKET up to batch_size, rounded to a mesh
+        multiple) — see MIN_BUCKET. Full batches return batch_size."""
+        b = MIN_BUCKET
+        while b < n:
+            b *= 2
+        b = min(b, self.batch_size)
+        if self.mesh is not None:
+            m = int(self.mesh.devices.size)
+            b = ((b + m - 1) // m) * m
+        return max(b, n)
 
     # -- decode stage -----------------------------------------------------
 
@@ -234,10 +256,9 @@ class TpuVideoHasher:
                 return
             batch = np.stack(batch_frames)
             n = batch.shape[0]
-            if n < self.batch_size:  # pad to the compiled shape
-                pad = np.zeros(
-                    (self.batch_size - n,) + batch.shape[1:], dtype=batch.dtype
-                )
+            target = self._pad_target(n)
+            if n < target:  # pad to the bucket's compiled shape
+                pad = np.zeros((target - n,) + batch.shape[1:], dtype=batch.dtype)
                 batch = np.concatenate([batch, pad])
             words_dev, qual_dev = self._hash_batch(batch)
             inflight.append((words_dev, qual_dev, batch_owner, n))
@@ -287,5 +308,5 @@ class TpuVideoHasher:
                 continue
             parts = sorted(hashes_per_video[idx])
             blob = b"".join(b for _, b in parts)
-            out.append(VideoResult(key, VpdqHash(blob)))
+            out.append(VideoResult(key, VpdqHash(blob), n_frames=len(parts)))
         return out

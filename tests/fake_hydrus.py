@@ -497,10 +497,11 @@ def sha256_hex(data: bytes) -> str:
 
 
 # Similar pairs in the committed corpus at the default 50.0 threshold:
-# scene_a (8 encodings) + scene_b (5) + scene_c (3) + scene_d (2)
-# -> C(8,2)+C(5,2)+C(3,2)+C(2,2) = 42; strange/ videos match nothing.
+# scene_a (8 encodings) + scene_b (5) + scene_c (4: master/long-GOP
+# h264/hevc/camera-capture) + scene_d (3: master/mpeg4/camera-capture)
+# -> C(8,2)+C(5,2)+C(4,2)+C(3,2) = 47; strange/ videos match nothing.
 # Single source of truth — tests must import this, not hardcode it.
-CORPUS_EXPECTED_PAIRS = 42
+CORPUS_EXPECTED_PAIRS = 47
 
 
 def corpus_file_store() -> dict[str, bytes]:
