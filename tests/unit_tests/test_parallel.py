@@ -132,6 +132,30 @@ def test_mesh_hashing_matches_single_device(mesh, rng):
             assert a.phash == b.phash and str(a.phash) == str(b.phash)
 
 
+def test_pad_target_bucket_ladder(mesh):
+    """Partial flushes pad to the {MIN_BUCKET..batch_size} power-of-two
+    ladder, not the full compiled batch (padding travels H2D — a 32-frame
+    flush must not ship a 94%-zeros full batch), and with a mesh the
+    bucket rounds up to a device multiple."""
+    from hydrus_video_deduplicator_tpu.models import vpdq as mv
+
+    h = mv.TpuVideoHasher(batch_size=512)
+    assert h._pad_target(1) == mv.MIN_BUCKET
+    assert h._pad_target(mv.MIN_BUCKET) == mv.MIN_BUCKET
+    assert h._pad_target(mv.MIN_BUCKET + 1) == 2 * mv.MIN_BUCKET
+    assert h._pad_target(200) == 256
+    assert h._pad_target(512) == 512
+    # never exceeds the compiled batch, never shrinks below n
+    for n in range(1, 513):
+        t = h._pad_target(n)
+        assert n <= t <= 512
+    small = mv.TpuVideoHasher(batch_size=16)
+    assert small._pad_target(3) == 16  # CPU batch below MIN_BUCKET: capped
+    meshed = mv.TpuVideoHasher(batch_size=512, mesh=mesh)
+    for n in (1, 33, 200):
+        assert meshed._pad_target(n) % mesh.devices.size == 0
+
+
 def _frames_to_y4m(frames: np.ndarray) -> bytes:
     """Tiny C444 y4m encoder (full-range passthrough luma trick not needed —
     hashes only must be equal across the two hashers, not golden)."""
