@@ -902,11 +902,15 @@ class TpuSearchEngine:
 
         cols_stacked = None if state is None else state.get("seg_scan_cols")
         if cols_stacked is None:
-            # tile count pads to the next power of two with empty
+            # tile count pads to an eighth-octave step with empty
             # (validity-skipped) tiles: the scan length bakes into the
             # compiled program, so without padding every distinct corpus
             # size costs a fresh multi-minute XLA compile of the T-step
-            # scan; padded, one compile covers the whole power-of-two range.
+            # scan. Full power-of-two padding wastes up to ~2x of pm1 +
+            # mask HBM on padding tiles (a 1M mean-120 corpus lands at
+            # n_real=1347 -> 2048, +52% — it OOM'd a 16 GB chip); an
+            # eighth-octave grid keeps waste <= 12.5% at <= 8 compiled
+            # shapes per octave.
             #
             # The column corpus STREAMS to the device: the packing plan is
             # computed from frame counts alone (seg.plan_chunks), then the
@@ -924,6 +928,8 @@ class TpuSearchEngine:
             n_pad = 1
             while n_pad < n_real:
                 n_pad <<= 1
+            step = max(1, n_pad // 8)
+            n_pad = ((n_real + step - 1) // step) * step
             tile_frames = chunks_per_tile * seg.CHUNK_FRAMES
             tile_slots = chunks_per_tile * seg.CHUNK_SLOTS
             # per-slot metadata (small): true counts + corpus-index map
@@ -1007,12 +1013,25 @@ class TpuSearchEngine:
             # ~20 GB of ±1 rows), the columns stay packed in HBM (8x
             # smaller) and each scan step expands its own tile.
             pm1_bytes = n_pad * tile_frames * BYTES * 8
-            cols_packed_mode = pm1_bytes > self.COL_PM1_HBM_BUDGET
+            # a sweep-result hit mask is [T, row_slots/32, tile_slots] u32;
+            # the drain keeps >= 4 of them in flight (2 groups of >= 2), so
+            # the pm1 expansion may only stay resident if columns + masks
+            # together fit the planning target (a 1M mean-120 corpus's
+            # 8.6 GB pm1 squeaked under the old flat 9 GB threshold and
+            # OOM'd once 2x268 MB masks joined it)
+            mask_bytes = (
+                4 * n_pad * tile_slots * (row_blocks_per_tile * seg.ROW_SLOTS // 32)
+            )
+            cols_packed_mode = pm1_bytes > min(
+                self.COL_PM1_HBM_BUDGET, self.SEG_HBM_TARGET - 4 * mask_bytes
+            )
             if cols_packed_mode:
                 cf_dev = pk_dev
+                cols_resident_bytes = n_pad * tile_frames * BYTES
             else:
                 cf_dev = seg.unpack_blocks_pm1_stacked(pk_dev, ids_dev)
                 del pk_dev  # the packed staging's HBM is released
+                cols_resident_bytes = pm1_bytes
             cols_stacked = (
                 cf_dev,
                 ids_dev,
@@ -1020,6 +1039,7 @@ class TpuSearchEngine:
                 smaps,
                 int((smaps >= 0).sum()),
                 cols_packed_mode,
+                cols_resident_bytes,
             )
             if state is not None:
                 state["seg_scan_cols"] = cols_stacked
@@ -1031,7 +1051,15 @@ class TpuSearchEngine:
             for _arr in cols_stacked[:3]:
                 np.asarray(jax.device_get(_arr[-1, -1]))
             _lap("col upload synced")
-        cf, ci, cc, smaps, total_cols, cols_packed_mode = cols_stacked
+        (
+            cf,
+            ci,
+            cc,
+            smaps,
+            total_cols,
+            cols_packed_mode,
+            cols_resident_bytes,
+        ) = cols_stacked
         n_tiles = len(smaps)
         # [T, slots] corpus-index lookup for the vectorized drain emit
         smaps_arr = np.asarray(smaps)
@@ -1218,16 +1246,22 @@ class TpuSearchEngine:
             )
             inflight.append((rmap, rn, sweep(*row_args, cf, ci, cc, valid, min_sim_dev)))
             if group_n is None:
-                # bound in-flight mask HBM: 2*group_n masks must fit
-                # DRAIN_HBM_BUDGET_MB (row-packed masks have a 2048-lane
-                # minor dim, so they tile without padding)
+                # bound in-flight mask HBM: 2*group_n masks must fit what
+                # the resident column corpus leaves of the planning target
+                # (and never more than DRAIN_HBM_BUDGET_MB; row-packed
+                # masks have a 2048-lane minor dim, so they tile without
+                # padding)
                 msh = inflight[0][2][1].shape
                 mask_mb = 4 * int(np.prod(msh)) / 1e6
+                avail_mb = min(
+                    self.DRAIN_HBM_BUDGET_MB,
+                    self.SEG_HBM_TARGET / 1e6 - cols_resident_bytes / 1e6,
+                )
                 group_n = max(
                     1,
                     min(
                         self.DRAIN_GROUP,
-                        int(self.DRAIN_HBM_BUDGET_MB / max(mask_mb, 1e-3)) // 2,
+                        int(max(avail_mb, 0.0) / max(mask_mb, 1e-3)) // 2,
                     ),
                 )
             if n_tile_laps < 8:
@@ -1341,6 +1375,10 @@ class TpuSearchEngine:
     #: segment sweep keeps columns bit-packed in HBM and expands per scan
     #: step (10M-video corpora; see _segment_route)
     COL_PM1_HBM_BUDGET = 9_000_000_000
+    #: total device HBM the segment route plans column residency + in-flight
+    #: drain masks against (v5e = 16 GB; headroom left for row-tile
+    #: workspaces, staging remnants and XLA scratch)
+    SEG_HBM_TARGET = 12_500_000_000
 
     def _collect_hits(self, out, cnt_dev, sim_dev, meta, r_idx, c_idx, min_sim, col_limit=None):
         i0, j0, ri_n, cj_n = meta
