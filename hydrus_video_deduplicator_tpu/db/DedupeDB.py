@@ -152,6 +152,31 @@ class DedupeDb:
     def init_connection(self) -> None:
         self.conn = sqlite3.connect(self.db_dir / self.db_name)
         self.cur = self.conn.cursor()
+        # Connection tuning. All three pragmas are per-connection state —
+        # nothing is persisted into the file, so databases stay
+        # byte-compatible with reference-created ones.
+        #   cache_size: SQLite's default ~2 MiB page cache thrashes once
+        #     the UNIQUE-index B-trees outgrow it (file hashes and phash
+        #     blobs arrive in random key order); the 10M-library stage-2
+        #     drain measured a 36k -> 6k rows/s decline from exactly this
+        #     (artifacts/drain_pragma_ab.py). HVD_SQLITE_CACHE_MB tunes it.
+        #   temp_store MEMORY: the batched drain stages each batch in a
+        #     temp table (drain_phashed_queue_batch).
+        #   synchronous NORMAL: commits are resume checkpoints — a crash
+        #     loses at most the last batch, never corrupts (journal on).
+        try:
+            cache_mb = int(os.environ.get("HVD_SQLITE_CACHE_MB", "256"))
+        except ValueError:
+            cache_mb = 256
+        for pragma in (
+            f"PRAGMA cache_size = -{max(2, cache_mb) * 1024}",
+            "PRAGMA temp_store = MEMORY",
+            "PRAGMA synchronous = NORMAL",
+        ):
+            try:
+                self.execute(pragma)
+            except sqlite3.OperationalError:  # pragma: no cover - exotic builds
+                pass
         # One-time for reference-created DBs. Tolerate read-only files
         # (ADVICE r3 #3): the index is a perf fix, not a correctness
         # requirement, so opening must not fail on read-only media.
