@@ -414,3 +414,24 @@ def test_plan_chunks_matches_pack_blocks():
             assert blk.counts[slot_id[k], 0] == counts[k]
             assert (blk.slot_ids[frame_off[k] : frame_off[k] + counts[k]]
                     == slot_id[k]).all()
+
+
+def test_connection_pragmas_tuned(fresh_db, monkeypatch, tmp_path):
+    """init_connection sets the page-cache/temp-store/synchronous pragmas
+    (library-scale ingest thrashes SQLite's ~2 MiB default cache — measured
+    2x drain slowdown at 1M rows, artifacts/drain_pragma_ab.py) and
+    HVD_SQLITE_CACHE_MB tunes the cache. Per-connection only: the database
+    FILE stays byte-compatible with reference-created ones."""
+    (cache,) = fresh_db.execute("PRAGMA cache_size").fetchone()
+    assert cache == -(256 * 1024)
+    (temp_store,) = fresh_db.execute("PRAGMA temp_store").fetchone()
+    assert temp_store == 2  # MEMORY
+    (sync,) = fresh_db.execute("PRAGMA synchronous").fetchone()
+    assert sync == 1  # NORMAL
+
+    monkeypatch.setenv("HVD_SQLITE_CACHE_MB", "64")
+    db2 = DedupeDB.DedupeDb(DedupeDB.get_db_dir(), DedupeDB.get_db_name())
+    db2.init_connection()
+    (cache2,) = db2.execute("PRAGMA cache_size").fetchone()
+    db2.close()
+    assert cache2 == -(64 * 1024)
