@@ -125,6 +125,12 @@ def fill_new_queue(db, saved: dict[int, bytes]) -> set[tuple[str, str]]:
 
 
 def main():
+    # A 10M-file library's UNIQUE-index working set is ~0.4 GB per 1M files
+    # (random-order file hashes + 256-byte phash blobs); the default 256 MiB
+    # page cache thrashes at this scale (measured decline in
+    # artifacts/drain_pragma_ab.py). Size the cache like a real 10M-library
+    # deployment would — the knob exists for exactly this.
+    os.environ.setdefault("HVD_SQLITE_CACHE_MB", "4096")
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
