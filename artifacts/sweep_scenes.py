@@ -134,23 +134,18 @@ def gen_corpus(rng):
     return frames, offsets
 
 
-def main():
-    import jax
+def build_corpus(rng, min_sim: int = MIN_SIM):
+    """Scene-model corpus with plants: (blobs, expected, n_empty).
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    log(f"device: {jax.devices()[0]}; N={N} chunk={CHUNK} mode={MODE} cap={RADIUS_CAP}")
-    log(
-        f"model: shots geom({SHOT_MEAN}), drift {DRIFT_RATE}/pos sat {DRIFT_SAT}, "
-        f"reenc {REENC_BITS}b, plants {N_PLANT}+{N_PLANT_FAR}far+{N_CLIP}clip, "
-        f"{N_EMPTY} empty"
-    )
-
-    from hydrus_video_deduplicator_tpu.ops import reps as reps_mod
-    from hydrus_video_deduplicator_tpu.parallel.engine import TpuSearchEngine
+    `expected` maps (a, b) AND (b, a) video-index pairs to the exact
+    integer similarity for every planted pair scoring >= min_sim. The
+    RNG call sequence is identical to the pre-refactor inline code, so
+    seed 7 reproduces every measured corpus in sweep_scenes_*.log.
+    (Also reused by library_1m_fresh.py — the fresh-library production
+    rehearsal — so both drivers agree on the generative model.)
+    """
     from hydrus_video_deduplicator_tpu.vpdq import matchHashBytes
 
-    rng = np.random.default_rng(7)
     t0 = time.time()
     frames, offsets = gen_corpus(rng)
     blobs = [
@@ -188,13 +183,32 @@ def main():
     expected = {}
     for a, b in plant_pairs + clip_pairs:
         s = int(matchHashBytes(blobs[a], blobs[b]))
-        if s >= MIN_SIM:
+        if s >= min_sim:
             expected[(a, b)] = s
             expected[(b, a)] = s
     log(
-        f"corpus built in {time.time()-t0:.1f}s; planted pairs >= {MIN_SIM}: "
+        f"corpus built in {time.time()-t0:.1f}s; planted pairs >= {min_sim}: "
         f"{len(expected) // 2}/{len(plant_pairs) + len(clip_pairs)}"
     )
+    return blobs, expected, n_empty
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    log(f"device: {jax.devices()[0]}; N={N} chunk={CHUNK} mode={MODE} cap={RADIUS_CAP}")
+    log(
+        f"model: shots geom({SHOT_MEAN}), drift {DRIFT_RATE}/pos sat {DRIFT_SAT}, "
+        f"reenc {REENC_BITS}b, plants {N_PLANT}+{N_PLANT_FAR}far+{N_CLIP}clip, "
+        f"{N_EMPTY} empty"
+    )
+
+    from hydrus_video_deduplicator_tpu.ops import reps as reps_mod
+    from hydrus_video_deduplicator_tpu.parallel.engine import TpuSearchEngine
+
+    blobs, expected, n_empty = build_corpus(np.random.default_rng(7))
 
     # rep statistics (the quantity stage-A cost is quadratic in)
     t_r = time.time()
