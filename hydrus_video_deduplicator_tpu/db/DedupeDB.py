@@ -162,16 +162,24 @@ class DedupeDb:
         #     (artifacts/drain_pragma_ab.py). HVD_SQLITE_CACHE_MB tunes it.
         #   temp_store MEMORY: the batched drain stages each batch in a
         #     temp table (drain_phashed_queue_batch).
-        #   synchronous NORMAL: commits are resume checkpoints — a crash
-        #     loses at most the last batch, never corrupts (journal on).
+        #   synchronous NORMAL: commits are resume checkpoints — app-crash
+        #     safe (rollback journal), but in DELETE journal mode SQLite
+        #     documents a rare power-loss corruption window under NORMAL,
+        #     a durability step down from the reference's default FULL.
+        #     HVD_SQLITE_SYNC=FULL restores reference durability;
+        #     journal_mode stays DELETE so database FILES remain free of
+        #     -wal/-shm sidecars and byte-compatible with reference ones.
         try:
             cache_mb = int(os.environ.get("HVD_SQLITE_CACHE_MB", "256"))
         except ValueError:
             cache_mb = 256
+        sync = os.environ.get("HVD_SQLITE_SYNC", "NORMAL").upper()
+        if sync not in ("OFF", "NORMAL", "FULL", "EXTRA"):
+            sync = "NORMAL"
         for pragma in (
             f"PRAGMA cache_size = -{max(2, cache_mb) * 1024}",
             "PRAGMA temp_store = MEMORY",
-            "PRAGMA synchronous = NORMAL",
+            f"PRAGMA synchronous = {sync}",
         ):
             try:
                 self.execute(pragma)

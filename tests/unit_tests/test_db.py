@@ -422,12 +422,20 @@ def test_connection_pragmas_tuned(fresh_db, monkeypatch, tmp_path):
     2x drain slowdown at 1M rows, artifacts/drain_pragma_ab.py) and
     HVD_SQLITE_CACHE_MB tunes the cache. Per-connection only: the database
     FILE stays byte-compatible with reference-created ones."""
-    (cache,) = fresh_db.execute("PRAGMA cache_size").fetchone()
+    # fresh_db was created before this test could scrub the env, so open a
+    # clean default-cache connection here (drivers export HVD_SQLITE_CACHE_MB
+    # themselves — an ambient value must not fail this test, ADVICE r4 #2).
+    monkeypatch.delenv("HVD_SQLITE_CACHE_MB", raising=False)
+    monkeypatch.delenv("HVD_SQLITE_SYNC", raising=False)
+    db0 = DedupeDB.DedupeDb(DedupeDB.get_db_dir(), DedupeDB.get_db_name())
+    db0.init_connection()
+    (cache,) = db0.execute("PRAGMA cache_size").fetchone()
     assert cache == -(256 * 1024)
-    (temp_store,) = fresh_db.execute("PRAGMA temp_store").fetchone()
+    (temp_store,) = db0.execute("PRAGMA temp_store").fetchone()
     assert temp_store == 2  # MEMORY
-    (sync,) = fresh_db.execute("PRAGMA synchronous").fetchone()
+    (sync,) = db0.execute("PRAGMA synchronous").fetchone()
     assert sync == 1  # NORMAL
+    db0.close()
 
     monkeypatch.setenv("HVD_SQLITE_CACHE_MB", "64")
     db2 = DedupeDB.DedupeDb(DedupeDB.get_db_dir(), DedupeDB.get_db_name())

@@ -70,7 +70,12 @@ def test_build_corpus_pinned_digest(sweep_scenes):
     assert len([1 for (a, b) in expected if a < b]) == 160
     assert digest.hexdigest() == (
         "87c94d733c76aca8e544056572c3fd201cab7180635e6bf3dad23f73d886495c"
-    ), "scene-model RNG sequence drifted: measured sweep logs no longer reproduce"
+    ), (
+        "scene-model RNG sequence drifted: measured sweep logs no longer"
+        " reproduce (either the corpus code changed, or the NumPy Generator"
+        " distribution streams changed across a NumPy upgrade — check"
+        f" numpy=={np.__version__})"
+    )
     assert pair_digest == (
         "87f47cc61914b2e67f9fd23e63f45f06158b692ba92d130802420a0357d948c3"
     )
