@@ -133,10 +133,15 @@ def main() -> None:
     # secondary metric: the all-pairs search projection (bench_search.py),
     # folded into the same JSON line so the driver captures both
     search = None
+    search_m71 = None
     try:
         import bench_search
 
         search = bench_search.measure()
+        # the realistic-profile projection the <60 s north star is judged
+        # on (VERDICT r4 item 3): mean-71 scene corpora via the pruned
+        # route's (Σ leaders)² law
+        search_m71 = bench_search.measure_mean71()
     except Exception as exc:  # pragma: no cover - diagnostics only
         log(f"search bench skipped: {exc}")
 
@@ -150,6 +155,9 @@ def main() -> None:
     if search is not None:
         result["search_projected_1m_videos_v5e8_sec"] = search["value"]
         result["search_vs_60s_target"] = search["vs_baseline"]
+    if search_m71 is not None:
+        result["search_projected_1m_mean71_v5e8_sec"] = search_m71["value"]
+        result["search_mean71_vs_60s_target"] = search_m71["vs_baseline"]
     print(json.dumps(result))
 
 

@@ -142,8 +142,114 @@ def measure() -> dict:
     }
 
 
+#: measured total scene-leader count of the seed-7 1M mean-71 scene-model
+#: corpus (reps: 13346205 of 71115089 frames — artifacts/sweep_scenes_1m_r04a.log;
+#: the same constant reproduces in every r03/r04 sweep of that corpus)
+R_REPS_1M_MEAN71 = 13_346_205
+
+
+def measure_mean71() -> "dict | None":
+    """Projected 1M-video search at the REALISTIC mean-71 scene profile.
+
+    The 8-frame projection above measures the dense route on short clips;
+    real libraries average ~71 sampled frames/video (p90 152) and the
+    engine runs the scene-representative pruned route instead
+    (parallel/engine.py find_pairs_pruned). Its cost law is quadratic in
+    the total leader count — stage-A frame comparisons = (Σ leaders)²/2,
+    proven by the measured 50k/1M scaling table
+    (artifacts/sweep_scenes_summary.md) — and stage-B verify touches
+    <0.2% of video pairs at the measured candidate rate.
+
+    This measures the production mega mask-sweep kernel
+    (ops/similarity_segments.make_exists_mask_sweep_pallas at the
+    production prune tolerance) on production tile shapes with the
+    iteration loop ON DEVICE and a 4-byte scalar readback, so neither
+    dispatch RTTs nor D2H pollute the rate, then projects the measured
+    seed-7 1M leader count through the law. Cross-check: at the
+    r04-measured rate (1.85e11 frame cmp/s/chip) this projects 481 s
+    single-chip / 60 s v5e-8; the best measured end-to-end wall through
+    the remote dev tunnel was 743.5 s (sweep_scenes_1m_r04a.log), the
+    residual being per-row-tile dispatch RTTs absent on a real TPU VM.
+    """
+    if jax.devices()[0].platform != "tpu":
+        log("mean-71 projection skipped: pallas mega sweep needs real TPU")
+        return None
+
+    from hydrus_video_deduplicator_tpu.ops import reps as reps_mod
+    from hydrus_video_deduplicator_tpu.ops import similarity_segments as seg
+
+    tol = reps_mod.prune_tolerance()  # 31 + 2*RADIUS_CAP
+    RF, RS = seg.ROW_FRAMES, seg.ROW_SLOTS
+    SF = seg.STEP_FRAMES
+    RB = seg.TILE_ROW_BLOCKS
+    T = 128  # col tiles per sweep call (the bench_dot_floor6 shape)
+    n_steps = T * seg.TILE_COL_STEPS
+
+    rng = np.random.default_rng(0)
+    rp_w = jnp.asarray(rng.integers(0, 2**32, (RB * RF, 8), dtype=np.uint32))
+    cp_w = jnp.asarray(rng.integers(0, 2**32, (n_steps * SF, 8), dtype=np.uint32))
+    ri = np.tile(np.repeat(np.arange(RS, dtype=np.int32), RF // RS), RB)
+    ci = np.tile(
+        np.repeat(np.arange(seg.CHUNK_SLOTS, dtype=np.int32),
+                  seg.CHUNK_FRAMES // seg.CHUNK_SLOTS),
+        n_steps * seg.N_SPLIT,
+    )
+    ri_d = jnp.asarray(ri)
+    ci_d = jnp.asarray(ci)
+    rf = seg.unpack_blocks_pm1(rp_w, ri_d)
+    cfe = seg.unpack_blocks_pm1(cp_w, ci_d)
+    valid = jnp.ones((n_steps,), jnp.int32)
+    mega = seg.make_exists_mask_sweep_pallas(tol)
+
+    inner = 10
+
+    @jax.jit
+    def chain(rf_, carry):
+        def body(i, st):
+            c, r = st
+            # 1-row mutation on the carried operand defeats hoisting
+            # without copying the tile (same pattern as the hash bench)
+            r = r.at[0, 0].set(((c + i) % 2 * 2 - 1).astype(jnp.int8))
+            m = mega(r, ri_d, cfe, ci_d, valid)
+            return (c + jnp.sum(m.astype(jnp.uint32)), r)
+
+        return jax.lax.fori_loop(0, inner, body, (carry, rf_))
+
+    carry = jnp.uint32(0)
+    t0 = time.time()
+    carry, rf = chain(rf, carry)
+    int(carry[()] if hasattr(carry, "shape") else carry)
+    log(f"mean-71 mega sweep compile+first round: {time.time() - t0:.1f}s")
+
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        carry, rf = chain(rf, carry)
+        int(carry[()] if hasattr(carry, "shape") else carry)
+        dt = min(dt, (time.time() - t0) / inner)
+
+    cmp_per_call = (RB * RF) * (n_steps * SF)  # frame comparisons
+    rate = cmp_per_call / dt
+    stage_a_1chip = (R_REPS_1M_MEAN71**2 / 2) / rate
+    projected = stage_a_1chip / 8
+    log(
+        f"mega mask sweep: {dt * 1e3 / T:.3f} ms/tile-pair = {rate:.3e} frame cmp/s/chip"
+        f" -> 1M mean-71 stage-A {stage_a_1chip:.0f}s single-chip,"
+        f" {projected:.1f}s v5e-8"
+    )
+    return {
+        "metric": "search_projected_1m_mean71_v5e8_sec",
+        "value": round(projected, 1),
+        "unit": "s",
+        "vs_baseline": round(60.0 / projected, 3),
+    }
+
+
 def main() -> None:
     print(json.dumps(measure()))
+    m71 = measure_mean71()
+    if m71 is not None:
+        print(json.dumps(m71))
 
 
 if __name__ == "__main__":

@@ -205,10 +205,15 @@ class HydrusVideoDeduplicator:
     #: pairs are marked and its search-cache entries committed, bounding
     #: the work an interrupt can lose while keeping device batches large.
     #: At corpus scale the chunk size grows so the total chunk count stays
-    #: <= SEARCH_MAX_CHUNKS (per-chunk fixed costs — row indexing/packing/
-    #: upload, result drain — would otherwise add minutes at 1M files).
+    #: <= SEARCH_MAX_CHUNKS (per-chunk fixed costs — row packing/upload,
+    #: drain pipeline flush, verify dispatches, SQLite row fetch — measured
+    #: ~10-13 s/chunk at 1M files on the r04 64-chunk schedule, i.e. the
+    #: production run spent ~700 s more than the 8-chunk engine driver on
+    #: the same corpus; 16 chunks keeps the loss bounded at ~1/16 of a run
+    #: while giving up < 2 min of fixed costs at 1M). Override with
+    #: HVD_SEARCH_MAX_CHUNKS for finer checkpoints.
     SEARCH_CHECKPOINT_ROWS = 8192
-    SEARCH_MAX_CHUNKS = 64
+    SEARCH_MAX_CHUNKS = 16
     #: use the TPU engine when at least this many files need searching
     TPU_ENGINE_MIN_BATCH = 16
 
@@ -1090,11 +1095,55 @@ class HydrusVideoDeduplicator:
         log.info(
             "stage-4 prefilter: %s", "scene-representative prune" if use_prune else "none"
         )
+        import os as _os
+        import time as _time
+
         rows_done = 0
+        max_chunks = int(
+            _os.environ.get("HVD_SEARCH_MAX_CHUNKS", "0")
+        ) or self.SEARCH_MAX_CHUNKS
         chunk_rows = max(
             self.SEARCH_CHECKPOINT_ROWS,
-            -(-len(files) // self.SEARCH_MAX_CHUNKS),
+            -(-len(files) // max_chunks),
         )
+        _chunk_debug = _os.environ.get("HVD_DEBUG_TIMING")
+
+        # one-chunk-ahead prefetch: the next chunk's row blobs are read
+        # from SQLite on a separate connection while the current chunk
+        # sweeps on the device (the SQLite read was serial dead time —
+        # stage 4 only ever reads the blob tables, so a second reader
+        # connection is safe; writes happen on the main connection at the
+        # chunk checkpoint, when the prefetch thread has long finished)
+        import sqlite3 as _sqlite3
+        import threading as _threading
+
+        _db_path = str(self.db.db_dir / self.db.db_name)
+        chunk_starts = list(range(0, len(files), chunk_rows))
+        _prefetched: dict[int, tuple] = {}
+
+        def _prefetch_worker(ids: list[int], out: list) -> None:
+            conn = _sqlite3.connect(_db_path)
+            try:
+                conn.execute("PRAGMA busy_timeout=30000")
+                out.append(fetch_blobs(conn, ids))
+            except Exception:  # fall back to the main-thread fetch
+                pass
+            finally:
+                conn.close()
+
+        def _start_prefetch(idx: int) -> None:
+            if idx >= len(chunk_starts):
+                return
+            k0 = chunk_starts[idx]
+            ids = [h for h in files[k0 : k0 + chunk_rows] if h in row_id_set]
+            out: list = []
+            th = _threading.Thread(
+                target=_prefetch_worker, args=(ids, out), daemon=True
+            )
+            th.start()
+            _prefetched[idx] = (th, out, ids)
+
+        _start_prefetch(0)
         with tqdm(
             total=100,
             desc="Searching for duplicates (all-pairs engine)",
@@ -1102,14 +1151,21 @@ class HydrusVideoDeduplicator:
             unit="%",
             colour="BLUE",
         ) as search_bar:
-            for k0 in range(0, len(files), chunk_rows):
+            for ci, k0 in enumerate(chunk_starts):
                 chunk_files = files[k0 : k0 + chunk_rows]
                 if self.should_skip_step_fn and self.should_skip_step_fn():
                     return num_similar_pairs // 2
-                chunk_row_ids = [h for h in chunk_files if h in row_id_set]
-                # one batched SQL fetch per chunk — row blobs live only for
-                # the chunk being searched
-                chunk_phashes = fetch_blobs(self.db, chunk_row_ids)
+                _tc = _time.time()
+                th, out, chunk_row_ids = _prefetched.pop(ci)
+                # kick the NEXT chunk's read before joining this one so it
+                # overlaps the device sweep below
+                _start_prefetch(ci + 1)
+                th.join()
+                # row blobs live only for the chunk being searched
+                chunk_phashes = (
+                    out[0] if out else fetch_blobs(self.db, chunk_row_ids)
+                )
+                _t_fetch = _time.time() - _tc
                 # triangle sweep: this chunk compares against the corpus
                 # prefix ending at its own last row
                 chunk_rows_start_pos = n_searched + rows_done
@@ -1130,6 +1186,15 @@ class HydrusVideoDeduplicator:
                         )
 
                 search_fn = engine.find_pairs_pruned if use_prune else engine.find_pairs
+                extra = {}
+                if use_prune:
+                    # rows are the corpus suffix starting at this chunk's
+                    # position: the engine reuses its column rep cache for
+                    # the row side instead of re-clustering (at 1M files
+                    # the per-chunk row clustering re-did the whole
+                    # corpus's ~40 s host clustering over the run)
+                    extra["rows_at"] = chunk_rows_start_pos
+                _tc = _time.time()
                 hits = (
                     search_fn(
                         chunk_phashes,
@@ -1138,21 +1203,34 @@ class HydrusVideoDeduplicator:
                         progress=on_progress,
                         col_state=col_state,
                         col_limit=col_limit,
+                        **extra,
                     )
                     if chunk_phashes
                     else []
                 )
+                _t_search = _time.time() - _tc
+                _tc = _time.time()
                 if not mark_hits(hits, chunk_row_ids, chunk_rows_start_pos):
                     return num_similar_pairs // 2
-                for i, hash_id in enumerate(chunk_files, start=1):
-                    self.db.execute(
-                        "UPDATE shape_search_cache SET searched_distance = ?"
-                        " WHERE hash_id = ?",
-                        (search_threshold, hash_id),
-                    )
-                    if i % self.SEARCH_COMMIT_BATCH == 0:
-                        self.db.commit()
+                _t_mark = _time.time() - _tc
+                _tc = _time.time()
+                # one batched statement per chunk: the chunk is the
+                # checkpoint unit, so per-row commits buy nothing (the
+                # whole chunk's cache entries land atomically below)
+                self.db.conn.executemany(
+                    "UPDATE shape_search_cache SET searched_distance = ?"
+                    " WHERE hash_id = ?",
+                    [(search_threshold, h) for h in chunk_files],
+                )
                 self.db.commit()  # checkpoint: this chunk survives interrupts
+                if _chunk_debug:
+                    print(
+                        f"[chunk-timing] rows {k0}..{k0 + len(chunk_files)}: "
+                        f"fetch {_t_fetch:.1f}s search {_t_search:.1f}s "
+                        f"mark {_t_mark:.1f}s ({len(hits)} hits) "
+                        f"cache-update {_time.time() - _tc:.1f}s",
+                        flush=True,
+                    )
                 rows_done += len(chunk_row_ids)
                 search_bar.n = int(100 * rows_done / len(row_ids)) if len(row_ids) else 100
                 search_bar.refresh()

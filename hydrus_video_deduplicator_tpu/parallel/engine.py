@@ -707,6 +707,7 @@ class TpuSearchEngine:
         col_state: dict | None = None,
         col_limit: int | None = None,
         radius_cap: int | None = None,
+        rows_at: int | None = None,
     ) -> list[tuple[int, int, int]]:
         """find_pairs with the exact scene-representative prune.
 
@@ -724,11 +725,32 @@ class TpuSearchEngine:
 
         Videos longer than the segment limit take the same bucketed/host
         paths as find_pairs, unpruned (complement sweeps below).
+
+        ``rows_at``: when the rows are exactly
+        ``all_phashes[rows_at : rows_at + len(row_phashes)]`` (the
+        checkpointed stage-4 triangle, where each chunk is a corpus
+        suffix slice), pass their corpus position and the row-side scene
+        representatives are LOOKED UP from the column rep cache instead
+        of re-clustered — per-chunk row clustering otherwise re-does the
+        whole corpus's host clustering over a checkpointed run.
         """
         assert min_int_similarity >= 1, "minimum similarity must be >= 1"
+        import os as _os
+        import time as _time
+
         from ..ops import pair_verify
         from ..ops import reps as reps_mod
         from ..ops import similarity_segments as seg
+
+        _debug = _os.environ.get("HVD_DEBUG_TIMING")
+        _t0 = _time.time()
+
+        def _lap(label):
+            nonlocal _t0
+            if _debug:
+                now = _time.time()
+                print(f"[prune-timing] {label}: {now - _t0:.1f}s", flush=True)
+                _t0 = now
 
         radius_cap = reps_mod.RADIUS_CAP if radius_cap is None else radius_cap
         state = col_state if col_state is not None else {}
@@ -742,10 +764,6 @@ class TpuSearchEngine:
         seg_row_idx = np.nonzero(
             (row_counts >= 1) & (row_counts <= seg.SEG_MAX_FRAMES)
         )[0]
-        row_reps = reps_mod.extract_reps(
-            [b for _, b in iter_blob_items(row_phashes, seg_row_idx)], radius_cap
-        )
-        seg_rows = list(zip(seg_row_idx.tolist(), row_reps))
 
         # The rep cache is only valid for the radius_cap it was built at:
         # sweeping at prune_tolerance(small_cap) against reps clustered at
@@ -774,6 +792,24 @@ class TpuSearchEngine:
             prune_state["rep_cols_radius_cap"] = radius_cap
             # the packed device staging of the old reps is stale too
             prune_state.pop("seg_scan_cols", None)
+            prune_state.pop("rep_lookup", None)
+        _lap("col reps")
+
+        if rows_at is not None:
+            # rows == all_phashes[rows_at : rows_at + len(rows)]: reuse the
+            # column rep cache (extract_reps clusters each video
+            # independently, so the per-video reps are identical)
+            rep_lookup = prune_state.get("rep_lookup")
+            if rep_lookup is None:
+                rep_lookup = prune_state["rep_lookup"] = dict(seg_cols)
+            row_reps = [rep_lookup[rows_at + int(i)] for i in seg_row_idx]
+        else:
+            row_reps = reps_mod.extract_reps(
+                [b for _, b in iter_blob_items(row_phashes, seg_row_idx)],
+                radius_cap,
+            )
+        seg_rows = list(zip(seg_row_idx.tolist(), row_reps))
+        _lap("row reps")
 
         tol_prune = reps_mod.prune_tolerance(radius_cap)
         # mask-emitting kernels: the hit bitmask packs in the kernel
@@ -793,9 +829,20 @@ class TpuSearchEngine:
             col_limit, kernel=kernel, with_sims=False, mask_rows=True,
             mask_tolerance=tol_prune,
         )
+        _lap(f"stage-A sweep ({len(candidates)} candidates)")
+        # SQLite-backed columns: fetch every candidate's column blob in
+        # batched IN() probes up front — verify's per-candidate random
+        # access costs one SELECT per miss otherwise (~1 per row at corpus
+        # scale, since every video's self-pair is a candidate)
+        col_blobs_for_verify = all_phashes
+        if hasattr(all_phashes, "iter_many") and candidates:
+            col_blobs_for_verify = dict(
+                all_phashes.iter_many(sorted({j for _, j in candidates}))
+            )
         out = pair_verify.verify_pairs(
-            candidates, row_phashes, all_phashes, min_int_similarity
+            candidates, row_phashes, col_blobs_for_verify, min_int_similarity
         )
+        _lap(f"verify ({len(out)} hits)")
 
         # Complement sweeps (unpruned find_pairs with the seg-eligible
         # side emptied — empty blobs match nothing): long rows x every
@@ -1111,8 +1158,16 @@ class TpuSearchEngine:
         # fetch = fused extract dispatch+fetch (includes waiting out the
         # group's device work), host = bit unpack + hit decode
         _drain_acc = {"fetch": 0.0, "host": 0.0, "tiles": 0, "dense": 0}
-        budget_rung = [0]  # sticky escalation across groups
-        ktop_rung = [0]
+        # sticky escalation across groups AND (via col_state) across the
+        # checkpointed chunks of a stage-4 run: each escalation costs an
+        # extra extract round trip + a fresh jit of the extract fn, so a
+        # 64-chunk run re-paying it per chunk adds minutes
+        if state is not None:
+            budget_rung = state.setdefault("drain_budget_rung", [0])
+            ktop_rung = state.setdefault("drain_ktop_rung", [0])
+        else:
+            budget_rung = [0]
+            ktop_rung = [0]
 
         def _emit(group, g_arr, d_arr, t_arr, rows_l, cols_l, local_slots):
             rmaps = np.stack([g[0] for g in group])  # [G, D*local_slots]
