@@ -43,17 +43,17 @@ def _run_main(server, db_dir, **kwargs):
     )
 
 
-# The corpus has four similarity groups: scene_a (8 encodings incl.
-# h264/mp4, long-GOP B-frame h264, vp9/webm and apng), scene_b (5
-# encodings incl. h264/mp4 and mpeg4/avi), and the real-footage groups
-# scene_c (4: y4m master, long-GOP h264, hevc, camera-capture) and
-# scene_d (3: y4m, mpeg4, camera-capture) -> C(8,2) + C(5,2) + C(4,2) +
-# C(3,2) = 28+10+6+3 = 47 similar pairs at the default 50.0 threshold
-# (strange/ videos — including the rotated and letterboxed scene_a
-# variants — match nothing).
-# The shared constant lives in tests/fake_hydrus.py.
+# The corpus has four similarity groups: scene_a (11 encodings incl.
+# h264/mp4, long-GOP B-frame h264, vp9/webm, apng, the 360p/720p
+# resolution ladder and an exposure-drift variant), scene_b (6 incl.
+# h264/mp4, mpeg4/avi and 480p), and the real-footage groups scene_c
+# (7: y4m master, long-GOP h264, hevc, camera-capture, 360p, 720p,
+# rolling-shutter) and scene_d (5: y4m, mpeg4, camera-capture, 480p,
+# exposure-drift) — see fake_hydrus.CORPUS_EXPECTED_PAIRS for the group
+# arithmetic (strange/ videos — including the rotated and letterboxed
+# scene_a variants — match nothing).
 EXPECTED_PAIRS = CORPUS_EXPECTED_PAIRS
-SCENE_A_ENCODINGS = 8
+SCENE_A_ENCODINGS = 11
 
 
 @pytest.mark.parametrize("backend", ["tree", "tpu"])

@@ -497,11 +497,13 @@ def sha256_hex(data: bytes) -> str:
 
 
 # Similar pairs in the committed corpus at the default 50.0 threshold:
-# scene_a (8 encodings) + scene_b (5) + scene_c (4: master/long-GOP
-# h264/hevc/camera-capture) + scene_d (3: master/mpeg4/camera-capture)
-# -> C(8,2)+C(5,2)+C(4,2)+C(3,2) = 47; strange/ videos match nothing.
-# Single source of truth — tests must import this, not hardcode it.
-CORPUS_EXPECTED_PAIRS = 47
+# scene_a (11 encodings incl. the 360p/720p resolution ladder and the
+# exposure-drift variant) + scene_b (6) + scene_c (7: master/long-GOP
+# h264/hevc/camera-capture/360p/720p/rolling-shutter) + scene_d (5:
+# master/mpeg4/camera-capture/480p/exposure-drift)
+# -> C(11,2)+C(6,2)+C(7,2)+C(5,2) = 55+15+21+10 = 101; strange/ videos
+# match nothing. Single source of truth — tests must import this.
+CORPUS_EXPECTED_PAIRS = 101
 
 
 def corpus_file_store() -> dict[str, bytes]:

@@ -189,6 +189,47 @@ def ken_burns(photo_path: str, n_frames: int, h: int, w: int, seed: int) -> list
     return frames
 
 
+def upscale(frames: list[np.ndarray], h: int, w: int) -> list[np.ndarray]:
+    """Bilinear upscale (the resolution-ladder re-encodes; nearest-index
+    resize() keeps hard pixel edges that no real upscaler produces)."""
+    from PIL import Image
+
+    return [
+        np.asarray(Image.fromarray(f).resize((w, h), Image.BILINEAR))
+        for f in frames
+    ]
+
+
+def rolling_shutter(frames: list[np.ndarray], max_skew_px=1) -> list[np.ndarray]:
+    """Rolling-shutter skew: each row's exposure samples a slightly later
+    scene, so horizontal motion shears the frame — top row unshifted,
+    bottom row shifted by up to max_skew_px in the direction of motion
+    (alternating sign over time like a panning camera). Edge-replicated
+    like camera_degrade (wrap would introduce a hard discontinuity)."""
+    out = []
+    for t, f in enumerate(frames):
+        h = f.shape[0]
+        direction = 1 if (t // 4) % 2 == 0 else -1
+        pad = np.pad(f, ((0, 0), (max_skew_px,) * 2, (0, 0)), mode="edge")
+        g = np.empty_like(f)
+        for r in range(h):
+            dx = direction * int(round(max_skew_px * r / max(h - 1, 1)))
+            g[r] = pad[r, max_skew_px - dx : max_skew_px - dx + f.shape[1]]
+        out.append(g)
+    return out
+
+
+def exposure_drift(frames: list[np.ndarray], lo=0.90, hi=1.10) -> list[np.ndarray]:
+    """Slow exposure ramp across the clip (auto-exposure hunting): gain
+    glides lo -> hi. PDQ is luma-DCT-sign based, so a global gain should
+    barely move the hash — this variant documents that robustness."""
+    gains = np.linspace(lo, hi, max(len(frames), 1))
+    return [
+        np.clip(f.astype(np.float32) * g, 0, 255).astype(np.uint8)
+        for f, g in zip(frames, gains)
+    ]
+
+
 def camera_degrade(
     frames: list[np.ndarray], seed: int, shake_px=2, blur_taps=3, noise_sigma=4.0
 ) -> list[np.ndarray]:
@@ -299,6 +340,42 @@ def build(overwrite: bool) -> None:
         VIDEOS / "scene_d" / "S04_camera.mp4", "libx264",
         camera_degrade(d4, seed=41, shake_px=0, blur_taps=3, noise_sigma=2.0),
         fps,
+    )
+
+    # Resolution ladder (VERDICT r4 item 5): multi-resolution re-encodes of
+    # each group's content — the reference testdb's core matrix is the same
+    # clip at several resolutions (test_vpdqpy.py:28-55 BBB/Sintel ladders).
+    # S01/S02/S04 ladder by bilinear upscale of the master (what a
+    # re-encoding pipeline does to stored media); S03 re-renders the
+    # ken-burns path at the target resolution (true-detail ladder, the
+    # closer analog of the same footage exported at two resolutions).
+    write_native(VIDEOS / "scene_a" / "S01_360p.mp4", "libx264",
+                 upscale(a, 360, 480), fps)
+    write_native(VIDEOS / "scene_a" / "S01_720p.mp4", "libx264",
+                 upscale(a, 720, 960), fps)
+    write_native(VIDEOS / "scene_b" / "S02_480p.mp4", "libx264",
+                 upscale(b, 480, 640), fps)
+    c360 = ken_burns(REAL_PHOTOS[0], n, 360, 480, seed=3)
+    write_native(VIDEOS / "scene_c" / "S03_360p.mp4", "libx264", c360, fps)
+    c720 = ken_burns(REAL_PHOTOS[0], n, 720, 960, seed=3)
+    write_native(VIDEOS / "scene_c" / "S03_720p.mp4", "libx264", c720, fps)
+    write_native(VIDEOS / "scene_d" / "S04_480p.mp4", "libx264",
+                 upscale(d4, 480, 640), fps)
+
+    # harder camera realism: rolling-shutter skew (S03, 1 px — PDQ flips
+    # DCT signs under larger shears on fine texture) and auto-exposure
+    # drift (S01 synthetic + S04 wood texture)
+    write_native(
+        VIDEOS / "scene_c" / "S03_rollshutter.mp4", "libx264",
+        rolling_shutter(c, max_skew_px=1), fps,
+    )
+    write_native(
+        VIDEOS / "scene_a" / "S01_expdrift.mp4", "libx264",
+        exposure_drift(a), fps,
+    )
+    write_native(
+        VIDEOS / "scene_d" / "S04_expdrift.mp4", "libx264",
+        exposure_drift(d4, lo=0.94, hi=1.06), fps,
     )
 
     # Strange corpus: must hash (possibly to empty) without crashing.
