@@ -833,12 +833,28 @@ class TpuSearchEngine:
         # SQLite-backed columns: fetch every candidate's column blob in
         # batched IN() probes up front — verify's per-candidate random
         # access costs one SELECT per miss otherwise (~1 per row at corpus
-        # scale, since every video's self-pair is a candidate)
+        # scale, since every video's self-pair is a candidate). Candidates
+        # whose column index falls inside this chunk's own row span reuse
+        # the in-memory row blobs instead (rows_at contract above: rows ==
+        # all_phashes[rows_at : rows_at + len(rows)]) — at corpus scale
+        # nearly every candidate is a self/near-diagonal pair, so this
+        # turns the per-chunk 100k-blob random-read storm against a
+        # multi-GB DB into a handful of off-diagonal IN() probes, and
+        # makes verify's identical-blob self-pair shortcut an O(1)
+        # object-identity hit.
         col_blobs_for_verify = all_phashes
         if hasattr(all_phashes, "iter_many") and candidates:
-            col_blobs_for_verify = dict(
-                all_phashes.iter_many(sorted({j for _, j in candidates}))
-            )
+            need = sorted({j for _, j in candidates})
+            local: dict[int, bytes] = {}
+            if rows_at is not None:
+                n_rows = len(row_phashes)
+                in_span = [j for j in need if rows_at <= j < rows_at + n_rows]
+                for j in in_span:
+                    local[j] = row_phashes[j - rows_at]
+                need = [j for j in need if not (rows_at <= j < rows_at + n_rows)]
+            if need:
+                local.update(all_phashes.iter_many(need))
+            col_blobs_for_verify = local
         out = pair_verify.verify_pairs(
             candidates, row_phashes, col_blobs_for_verify, min_int_similarity
         )

@@ -366,6 +366,89 @@ def test_pruned_col_limit_and_state_reuse(rng):
     assert got == ref
 
 
+def test_pruned_db_cols_verify_reuses_row_span(rng, monkeypatch):
+    """DB-backed columns (iter_many duck type) + rows_at: verify-stage
+    column blobs inside the chunk's own row span must be the in-memory
+    row objects themselves (identity), NOT refetched through iter_many —
+    the r05 production-overhead fix: at 1M scale nearly every candidate
+    is a self/near-diagonal pair, so refetching turned each chunk's
+    verify into a ~100k-blob random-read storm against a multi-GB DB.
+    Out-of-span candidates must still be served, and the pair set must
+    equal the plain-list path's exactly."""
+    from hydrus_video_deduplicator_tpu.ops import pair_verify
+    from hydrus_video_deduplicator_tpu.parallel.engine import TpuSearchEngine
+
+    blobs = _mixed_corpus(rng)
+    n = len(blobs)
+    half = n // 2
+
+    class SpyColumn:
+        """DbBlobColumn duck type over an in-memory list.
+
+        Serves FRESH bytes copies like the real SQLite-backed column does
+        — so the identity assertion below actually discriminates between
+        'reused the chunk row object' and 'refetched through the DB'."""
+
+        def __init__(self, items):
+            self._items = items
+            self.blob_n_frames = [len(b) // 32 for b in items]
+
+        def __len__(self):
+            return len(self._items)
+
+        def __getitem__(self, i):
+            return bytes(bytearray(self._items[int(i)]))
+
+        def iter_many(self, indices):
+            return (
+                (int(i), bytes(bytearray(self._items[int(i)]))) for i in indices
+            )
+
+    rows = blobs[half:]
+    # reference FIRST, before the spy is installed — the spy must capture
+    # exactly one call (the DB-backed one), or the plain-list reference
+    # call would overwrite the capture with a mapping where identity
+    # holds trivially (list slices share objects)
+    ref = sorted(
+        TpuSearchEngine(force_segments=True).find_pairs_pruned(
+            rows, blobs, 20, col_state={}, col_limit=n, rows_at=half
+        )
+    )
+
+    captured: dict = {}
+    real_verify = pair_verify.verify_pairs
+
+    def spy_verify(pairs, row_blob, col_blob, min_sim, progress=None):
+        assert "pairs" not in captured, "verify called more than once"
+        captured["pairs"] = list(pairs)
+        captured["row_blob"] = row_blob
+        captured["col_blob"] = col_blob
+        return real_verify(pairs, row_blob, col_blob, min_sim, progress)
+
+    monkeypatch.setattr(pair_verify, "verify_pairs", spy_verify)
+
+    eng = TpuSearchEngine(force_segments=True)
+    got = sorted(
+        eng.find_pairs_pruned(
+            rows, SpyColumn(blobs), 20, col_state={}, col_limit=n, rows_at=half
+        )
+    )
+    assert got == ref and got  # exactness vs the plain-list path
+
+    cand = captured["pairs"]
+    in_span = [(i, j) for i, j in cand if half <= j < n]
+    out_span = [(i, j) for i, j in cand if j < half]
+    # the corpus plants both kinds: self-pairs (in-span) and the
+    # cross-half re-encode/subset-clip pairs (out-of-span)
+    assert in_span and out_span
+    for i, j in in_span:
+        # object identity, not just equality: proves the blob was reused
+        # from the chunk rows rather than refetched
+        assert captured["col_blob"][j] is captured["row_blob"][j - half]
+    for _, j in out_span:
+        assert captured["col_blob"][j] == blobs[j]
+
+
 def test_pruned_radius_cap_cache_invalidation(rng):
     """Reps cached at one radius_cap must NOT serve a sweep at a smaller
     cap: the smaller cap's tolerance (31 + 2*cap) no longer covers the
