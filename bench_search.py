@@ -162,10 +162,10 @@ def measure_mean71() -> "dict | None":
 
     This measures the production mega mask-sweep kernel
     (ops/similarity_segments.make_exists_mask_sweep_pallas at the
-    production prune tolerance) on production tile shapes with the
-    iteration loop ON DEVICE and a 4-byte scalar readback, so neither
-    dispatch RTTs nor D2H pollute the rate, then projects the measured
-    seed-7 1M leader count through the law. Cross-check: at the
+    production prune tolerance) on production tile shapes with queued
+    asynchronous dispatches and a 4-byte scalar readback per call, so
+    neither dispatch RTTs nor D2H pollute the rate, then projects the
+    measured seed-7 1M leader count through the law. Cross-check: at the
     r04-measured rate (1.85e11 frame cmp/s/chip) this projects 481 s
     single-chip / 60 s v5e-8; the best measured end-to-end wall through
     the remote dev tunnel was 743.5 s (sweep_scenes_1m_r04a.log), the
@@ -201,31 +201,39 @@ def measure_mean71() -> "dict | None":
     valid = jnp.ones((n_steps,), jnp.int32)
     mega = seg.make_exists_mask_sweep_pallas(tol)
 
-    inner = 10
+    # Timing strategy: direct jitted calls with a 4-byte scalar readback,
+    # NOT an on-device fori_loop chain — wrapping the Mosaic mega kernel
+    # in a lax.fori_loop produced a pathological remote compile (>25 min
+    # through the dev tunnel; the direct form compiles in ~2.5 min,
+    # artifacts/bench_dot_floor7_r05.log). Every operand is a jit
+    # ARGUMENT, not a closure capture: captured device arrays are baked
+    # into the HLO as constants, and the 130 MB column operand blows the
+    # remote-compile request past the tunnel's body limit (HTTP 413).
+    # Dispatch RTT is amortized by queuing `inner` asynchronous
+    # dispatches back-to-back and syncing once at the end — the device
+    # serializes them, so the measured window is inner*kernel + one RTT
+    # (the same in-flight pipelining the production drain uses).
+    # Distinct sign-flipped row operands defeat any common-subexpression
+    # reuse across the queued calls.
+    inner = 8
 
     @jax.jit
-    def chain(rf_, carry):
-        def body(i, st):
-            c, r = st
-            # 1-row mutation on the carried operand defeats hoisting
-            # without copying the tile (same pattern as the hash bench)
-            r = r.at[0, 0].set(((c + i) % 2 * 2 - 1).astype(jnp.int8))
-            m = mega(r, ri_d, cfe, ci_d, valid)
-            return (c + jnp.sum(m.astype(jnp.uint32)), r)
+    def step(rf_, ri_, cf_, ci_, v_):
+        m = mega(rf_, ri_, cf_, ci_, v_)
+        return jnp.sum(m.astype(jnp.uint32))
 
-        return jax.lax.fori_loop(0, inner, body, (carry, rf_))
-
-    carry = jnp.uint32(0)
+    rfs = [rf * jnp.int8(1 - 2 * (k % 2)) for k in range(inner)]
     t0 = time.time()
-    carry, rf = chain(rf, carry)
-    int(carry[()] if hasattr(carry, "shape") else carry)
-    log(f"mean-71 mega sweep compile+first round: {time.time() - t0:.1f}s")
+    ref0 = int(np.asarray(step(rfs[0], ri_d, cfe, ci_d, valid)))
+    log(f"mean-71 mega sweep compile+first call: {time.time() - t0:.1f}s"
+        f" (checksum {ref0})")
 
     dt = float("inf")
     for _ in range(3):
         t0 = time.time()
-        carry, rf = chain(rf, carry)
-        int(carry[()] if hasattr(carry, "shape") else carry)
+        outs = [step(r_, ri_d, cfe, ci_d, valid) for r_ in rfs]
+        for o in outs:
+            int(np.asarray(o))  # first fetch syncs the whole queue
         dt = min(dt, (time.time() - t0) / inner)
 
     cmp_per_call = (RB * RF) * (n_steps * SF)  # frame comparisons
