@@ -165,11 +165,14 @@ def measure_mean71() -> "dict | None":
     production prune tolerance) on production tile shapes with queued
     asynchronous dispatches and a 4-byte scalar readback per call, so
     neither dispatch RTTs nor D2H pollute the rate, then projects the
-    measured seed-7 1M leader count through the law. Cross-check: at the
-    r04-measured rate (1.85e11 frame cmp/s/chip) this projects 481 s
-    single-chip / 60 s v5e-8; the best measured end-to-end wall through
-    the remote dev tunnel was 743.5 s (sweep_scenes_1m_r04a.log), the
-    residual being per-row-tile dispatch RTTs absent on a real TPU VM.
+    measured seed-7 1M leader count through the law. Cross-check: the
+    clean kernel rate is 2.96-3.32e11 frame cmp/s/chip (floor7c
+    decomposition: ~86% of the 10.9 us/cell MXU dot bound, epilogue
+    hidden), projecting ~280 s single-chip / ~35 s v5e-8 for stage A;
+    the best measured end-to-end production wall through the remote dev
+    tunnel was 584.4 s (library_1m_fresh_r05.log), the residual being
+    per-row-tile dispatch RTTs and mask readbacks absent on a real TPU
+    VM, plus verify/marking.
     """
     if jax.devices()[0].platform != "tpu":
         log("mean-71 projection skipped: pallas mega sweep needs real TPU")
