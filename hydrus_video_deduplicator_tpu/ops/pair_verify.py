@@ -97,6 +97,13 @@ def verify_pairs(
     Pairs whose either side is empty or longer than MAX_PAD frames must
     not be passed here (the engine routes those to the host path).
     """
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _debug = _os.environ.get("HVD_DEBUG_TIMING")
+    _acc = {"bucket": 0.0, "pack": 0.0, "dispatch": 0.0, "drain": 0.0, "n": 0}
+    _t = _time.time()
     out: list[tuple[int, int, int]] = []
     buckets: dict[int, list[tuple[int, int, int, int]]] = {}
     for i, j in pairs:
@@ -113,6 +120,7 @@ def verify_pairs(
         nb = len(b) // BYTES
         assert na > 0 and nb > 0, (i, j)
         buckets.setdefault(_bucket_of(max(na, nb)), []).append((i, j, na, nb))
+    _acc["bucket"] = _time.time() - _t
     done = 0
     total = len(pairs)
     for pad, items in sorted(buckets.items()):
@@ -121,8 +129,10 @@ def verify_pairs(
 
         def drain(entry):
             nonlocal done
+            _td = _time.time()
             meta, sims_dev = entry
             sims = np.asarray(sims_dev)
+            _acc["drain"] += _time.time() - _td
             done += len(meta)
             if progress is not None:
                 progress(done, total)
@@ -132,6 +142,7 @@ def verify_pairs(
 
         for k0 in range(0, len(items), p_chunk):
             chunk = items[k0 : k0 + p_chunk]
+            _t = _time.time()
             a_packed = np.zeros((p_chunk, pad, LANES), dtype=np.uint32)
             b_packed = np.zeros((p_chunk, pad, LANES), dtype=np.uint32)
             a_cnt = np.zeros(p_chunk, dtype=np.int32)
@@ -141,13 +152,26 @@ def verify_pairs(
                 b_packed[k, :nb] = ops_sim.blobs_to_packed(col_blob[j])
                 a_cnt[k] = na
                 b_cnt[k] = nb
+            _acc["pack"] += _time.time() - _t
+            _t = _time.time()
             sims_dev = _verify_chunk(
                 jnp.asarray(a_packed), jnp.asarray(a_cnt),
                 jnp.asarray(b_packed), jnp.asarray(b_cnt), pad,
             )
+            _acc["dispatch"] += _time.time() - _t
+            _acc["n"] += 1
             inflight.append(([(i, j) for i, j, _, _ in chunk], sims_dev))
             if len(inflight) >= 4:
                 drain(inflight.pop(0))
         while inflight:
             drain(inflight.pop(0))
+    if _debug:
+        print(
+            "[verify-timing] bucket {bucket:.1f}s pack {pack:.1f}s dispatch "
+            "{dispatch:.1f}s drain {drain:.1f}s over {n} device chunks".format(
+                **_acc
+            ),
+            file=_sys.stderr,
+            flush=True,
+        )
     return out

@@ -855,6 +855,7 @@ class TpuSearchEngine:
             if need:
                 local.update(all_phashes.iter_many(need))
             col_blobs_for_verify = local
+            _lap(f"verify-blob fetch ({len(need)} off-span)")
         out = pair_verify.verify_pairs(
             candidates, row_phashes, col_blobs_for_verify, min_int_similarity
         )
