@@ -306,12 +306,53 @@ def _scan_sweep_body(
     return out  # cnts [T], masks [T, rows/32, cols] (row-packed words)
 
 
+def _pack_row_blob(packed, slot_ids, cnt, n_blocks: int) -> np.ndarray:
+    """Join one row tile's three operands into ONE u32 array [n_blocks, W].
+
+    Every row-tile dispatch previously shipped three separate host->device
+    transfers (bit-packed frames, slot ids, per-slot counts); through a
+    remote transport each transfer carries its own per-message cost, and a
+    1M-video sweep dispatches thousands of row tiles. One concatenated
+    blob per tile keeps the per-tile message count at 2 (put + dispatch).
+    int32 operands travel as their u32 bit patterns (-1 == 0xFFFFFFFF) and
+    are bitcast back on device by _split_row_blob. Axis 0 stays the block
+    axis, so mesh row-sharding specs are unchanged.
+    """
+    return np.concatenate(
+        [
+            packed.reshape(n_blocks, -1),
+            slot_ids.view(np.uint32).reshape(n_blocks, -1),
+            np.ascontiguousarray(cnt).view(np.uint32).reshape(n_blocks, -1),
+        ],
+        axis=1,
+    )
+
+
+def _split_row_blob(rblob):
+    """Device-side inverse of _pack_row_blob: [n_blocks, W] u32 -> the flat
+    (rf [n*F, 8] u32, ri [n*F] i32, rc [n*S, 1] i32) the sweep bodies take.
+    Pure slicing + bitcast — XLA fuses it into the consumers for free."""
+    from ..ops import similarity_segments as seg
+
+    nb = rblob.shape[0]
+    fw = seg.ROW_FRAMES * LANES
+    rf = rblob[:, :fw].reshape(nb * seg.ROW_FRAMES, LANES)
+    ri = jax.lax.bitcast_convert_type(
+        rblob[:, fw : fw + seg.ROW_FRAMES], jnp.int32
+    ).reshape(nb * seg.ROW_FRAMES)
+    rc = jax.lax.bitcast_convert_type(
+        rblob[:, fw + seg.ROW_FRAMES :], jnp.int32
+    ).reshape(nb * seg.ROW_SLOTS, 1)
+    return rf, ri, rc
+
+
 @functools.lru_cache(maxsize=16)
 def _segment_sweep_fn(kernel, cols_packed=False, mask_kernel=False):
     """Jitted single-device scan sweep, cached per (kernel, col mode)."""
 
     @jax.jit
-    def sweep(rf, ri, rc, cf, ci, cc, valid, min_sim):
+    def sweep(rblob, cf, ci, cc, valid, min_sim):
+        rf, ri, rc = _split_row_blob(rblob)
         cnts, masks = _scan_sweep_body(
             rf, ri, rc, cf, ci, cc, valid, min_sim, kernel, cols_packed,
             mask_kernel,
@@ -420,7 +461,8 @@ def _mega_sweep_fn(tolerance: int):
     existence kernel thresholds in its epilogue)."""
 
     @jax.jit
-    def sweep(rf, ri, rc, cf, ci, cc, valid, min_sim):
+    def sweep(rblob, cf, ci, cc, valid, min_sim):
+        rf, ri, _rc = _split_row_blob(rblob)
         cnts, masks = _mega_sweep_body(rf, ri, cf, ci, valid, tolerance)
         return cnts[None], masks[None]
 
@@ -439,7 +481,8 @@ def _sharded_mega_sweep_fn(mesh, tolerance: int):
     axes = tuple(mesh.axis_names)
     rows = P(axes)
 
-    def body(rf, ri, rc, cf, ci, cc, valid, min_sim):
+    def body(rblob, cf, ci, cc, valid, min_sim):
+        rf, ri, _rc = _split_row_blob(rblob)
         cnts, masks = _mega_sweep_body(rf, ri, cf, ci, valid, tolerance)
         return cnts[None], masks[None]
 
@@ -447,7 +490,7 @@ def _sharded_mega_sweep_fn(mesh, tolerance: int):
         shard_map(
             body,
             mesh=mesh,
-            in_specs=(rows, rows, rows, P(), P(), P(), P(), P()),
+            in_specs=(rows, P(), P(), P(), P(), P()),
             out_specs=(rows, rows),
             check_rep=False,
         )
@@ -468,7 +511,8 @@ def _sharded_segment_sweep_fn(mesh, kernel, cols_packed=False, mask_kernel=False
     axes = tuple(mesh.axis_names)
     rows = P(axes)
 
-    def body(rf, ri, rc, cf, ci, cc, valid, min_sim):
+    def body(rblob, cf, ci, cc, valid, min_sim):
+        rf, ri, rc = _split_row_blob(rblob)
         cnts, masks = _scan_sweep_body(
             rf, ri, rc, cf, ci, cc, valid, min_sim, kernel, cols_packed,
             mask_kernel,
@@ -479,7 +523,7 @@ def _sharded_segment_sweep_fn(mesh, kernel, cols_packed=False, mask_kernel=False
         shard_map(
             body,
             mesh=mesh,
-            in_specs=(rows, rows, rows, P(), P(), P(), P(), P()),
+            in_specs=(rows, P(), P(), P(), P(), P()),
             out_specs=(rows, rows),
             check_rep=False,
         )
@@ -1310,13 +1354,13 @@ class TpuSearchEngine:
                 group, row_blocks_per_tile, seg.ROW_FRAMES, seg.ROW_SLOTS
             )
             rn = int((rmap >= 0).sum())
-            # rows also travel bit-packed; the sweep expands them on device
-            row_args = (
-                self._put_rows(packed),
-                self._put_rows(slot_ids),
-                self._put_rows(cnt),
+            # rows also travel bit-packed, and the tile's three operands
+            # ride ONE concatenated u32 transfer (_pack_row_blob); the
+            # sweep splits and expands them on device
+            rblob_dev = self._put_rows(
+                _pack_row_blob(packed, slot_ids, cnt, row_blocks_per_tile)
             )
-            inflight.append((rmap, rn, sweep(*row_args, cf, ci, cc, valid, min_sim_dev)))
+            inflight.append((rmap, rn, sweep(rblob_dev, cf, ci, cc, valid, min_sim_dev)))
             if group_n is None:
                 # bound in-flight mask HBM: 2*group_n masks must fit what
                 # the resident column corpus leaves of the planning target
