@@ -1113,6 +1113,14 @@ class TpuSearchEngine:
             if dirty:
                 pk_dev, ids_dev = _flush(pk_dev, ids_dev)
             _lap("col stream+fill")
+            if _debug:
+                # attribution sync (debug only): separates the streamed
+                # H2D + staging fills from the pm1 expansion in the
+                # "upload synced" lap — the transport occasionally stalls
+                # a queued burst for minutes, and without this split the
+                # stall is unattributable
+                np.asarray(jax.device_get(ids_dev[-1, -1]))
+                _lap("col staging synced (debug)")
             # frames travel BIT-PACKED (8x less H2D). Default: expand to
             # the kernel's ±1 rows ON DEVICE, once — the pm1 expansion
             # lives in HBM across the whole sweep (and, via col_state,
