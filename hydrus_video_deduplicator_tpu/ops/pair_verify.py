@@ -123,22 +123,33 @@ def verify_pairs(
     _acc["bucket"] = _time.time() - _t
     done = 0
     total = len(pairs)
+    # drain in GROUPS: the per-chunk [P] sims fetch is one transport
+    # round trip (~27 ms through a dev tunnel), and a 62.5k-pair
+    # checkpoint span runs ~220 chunks — per-chunk draining measured
+    # ~6 s/span of pure RTT (library_1m_fresh_r05c.log [verify-timing]).
+    # Chunks within a bucket share shape [P], so a group stacks to one
+    # [G, P] device array and fetches with a single round trip; the
+    # stacked result is tiny (<= 128 KB) and the group bound keeps the
+    # undrained input queue to ~GROUP * 2 MB of HBM.
+    group_n = int(_os.environ.get("HVD_VERIFY_DRAIN_GROUP", "64"))
     for pad, items in sorted(buckets.items()):
         p_chunk = pairs_per_chunk(pad)
         inflight: list[tuple[list, object]] = []
 
-        def drain(entry):
+        def drain_group(entries):
             nonlocal done
+            if not entries:
+                return
             _td = _time.time()
-            meta, sims_dev = entry
-            sims = np.asarray(sims_dev)
+            sims_all = np.asarray(jnp.stack([s for _, s in entries]))
             _acc["drain"] += _time.time() - _td
-            done += len(meta)
+            for (meta, _), sims in zip(entries, sims_all):
+                done += len(meta)
+                for (i, j), s in zip(meta, sims[: len(meta)]):
+                    if s >= min_sim:
+                        out.append((i, j, int(s)))
             if progress is not None:
                 progress(done, total)
-            for (i, j), s in zip(meta, sims[: len(meta)]):
-                if s >= min_sim:
-                    out.append((i, j, int(s)))
 
         for k0 in range(0, len(items), p_chunk):
             chunk = items[k0 : k0 + p_chunk]
@@ -161,10 +172,10 @@ def verify_pairs(
             _acc["dispatch"] += _time.time() - _t
             _acc["n"] += 1
             inflight.append(([(i, j) for i, j, _, _ in chunk], sims_dev))
-            if len(inflight) >= 4:
-                drain(inflight.pop(0))
-        while inflight:
-            drain(inflight.pop(0))
+            if len(inflight) >= group_n:
+                drain_group(inflight)
+                inflight = []
+        drain_group(inflight)
     if _debug:
         print(
             "[verify-timing] bucket {bucket:.1f}s pack {pack:.1f}s dispatch "
