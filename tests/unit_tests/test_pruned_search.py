@@ -282,6 +282,28 @@ def test_pair_verify_matches_native(rng):
         assert got.get((i, j), 0) == expect, (i, j)
 
 
+def test_pair_verify_drain_group_invariant(rng, monkeypatch):
+    """Results are independent of the drain group size (the grouped
+    device fetch must split pair metadata back exactly at every group
+    boundary, including the final partial group)."""
+    from hydrus_video_deduplicator_tpu.ops import pair_verify
+
+    blobs = _mixed_corpus(rng)
+    nonempty = [i for i, b in enumerate(blobs) if 0 < len(b) // 32 <= 512]
+    pairs = [
+        (i, j)
+        for i in nonempty
+        for j in rng.choice(nonempty, size=3, replace=False)
+    ]
+    # small per-chunk budget -> many chunks -> several groups at size 2
+    monkeypatch.setattr(pair_verify, "pairs_per_chunk", lambda pad: 8)
+    monkeypatch.setenv("HVD_VERIFY_DRAIN_GROUP", "2")
+    grouped = sorted(pair_verify.verify_pairs(pairs, blobs, blobs, 1))
+    monkeypatch.setenv("HVD_VERIFY_DRAIN_GROUP", "1")
+    per_chunk = sorted(pair_verify.verify_pairs(pairs, blobs, blobs, 1))
+    assert grouped == per_chunk
+
+
 def test_pair_verify_rejects_below_min(rng):
     from hydrus_video_deduplicator_tpu.ops import pair_verify
 
